@@ -1,0 +1,400 @@
+"""MotionFormer / Segment-AVCLIP visual encoder (flax), TPU-first.
+
+Behavioral equivalent of the reference's vendored Motionformer ViT and its
+Synchformer feature-extraction wrapper (reference
+``models/modules/feature_extractors/avclip/motionformer.py`` and
+``.../motionformer_src/video_model_builder.py``, ``vit_helper.py``), in the
+``divided_224_16x4`` configuration the reference pins
+(``motionformer.py:115-141``):
+
+  * 3D patch embed: Conv3d kernel/stride (2, 16, 16) over 16-frame 224x224
+    segments -> (t=8, h=14, w=14) tokens, 768-d.
+  * separate positional embeddings: spatial (196+CLS) tiled over time +
+    temporal (8) interleaved over space.
+  * 12 divided space-time blocks: time attention (per spatial location over
+    frames, CLS attends globally), then space attention (per frame over
+    locations), then MLP; LayerNorm eps 1e-6. The *time* residual carries no
+    drop-path, matching ``vit_helper.py:449-466``.
+  * feature extraction head: drop CLS, final LayerNorm, restore (t, h, w),
+    then per-frame spatial aggregation with a CLS-token transformer encoder
+    layer (``motionformer.py:367-497``); temporal aggregation is identity.
+
+Output: ``(B, S, 8, 768)`` per-segment features, like the reference
+(``motionformer.py:252-303``).
+
+TPU-first notes: the 12 blocks run under ``nn.scan`` with stacked params and
+a per-layer drop-path rate vector; attention keeps heads as a tensor axis
+(no head-folding reshapes); softmax in float32; compute dtype bfloat16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionFormerConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    qkv_bias: bool = True
+    temporal_resolution: int = 8  # tokens along time (16 frames / z_block 2)
+    z_block_size: int = 2
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.2
+    pos_embed_type: str = "separate"  # separate | joint
+    norm_eps: float = 1e-6
+    factorize_space_time: bool = True
+    agg_space_module: str = "TransformerEncoderLayer"  # | AveragePooling
+    agg_time_module: str = "Identity"  # | TransformerEncoderLayer | AveragePooling
+    add_global_repr: bool = False
+    max_segments: int = 16
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @property
+    def grid_hw(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_spatial_patches(self) -> int:
+        return self.grid_hw * self.grid_hw
+
+    @property
+    def num_patches(self) -> int:
+        return self.num_spatial_patches * self.temporal_resolution
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    def build(self) -> "MotionFormer":
+        return MotionFormer(self)
+
+
+def MotionFormerSpec(
+    extract_features: bool = True,
+    ckpt_path: Optional[str] = None,
+    factorize_space_time: bool = True,
+    agg_space_module: str = "TransformerEncoderLayer",
+    agg_time_module: str = "torch.nn.Identity",
+    add_global_repr: bool = False,
+    agg_segments_module: Optional[str] = None,
+    max_segments: Optional[int] = None,
+    **kwargs,
+) -> MotionFormerConfig:
+    """Config shim accepting the reference wrapper's parameter names
+    (``motionformer.py:66-76``). ``ckpt_path`` is handled by the checkpoint
+    loader in ``vaura_tpu.models.convert``, not here."""
+    return MotionFormerConfig(
+        factorize_space_time=factorize_space_time,
+        agg_space_module=agg_space_module,
+        agg_time_module=(
+            "Identity" if "Identity" in agg_time_module else agg_time_module
+        ),
+        add_global_repr=add_global_repr,
+        max_segments=max_segments if max_segments is not None else 16,
+        **kwargs,
+    )
+
+
+def _trunc_normal(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std)
+
+
+def _masked_softmax_attn(q, k, v):
+    """Plain attention with float32 softmax. q: [B, H, Nq, D], k/v:
+    [B, H, Nk, D]; q pre-scaled."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+class DividedAttention(nn.Module):
+    """Divided attention (reference ``vit_helper.py:80-172``): the CLS token
+    attends globally; other tokens attend within a single axis (time or
+    space) with the CLS key/value appended to every group."""
+
+    config: MotionFormerConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, axis: str, f: int, n: int) -> jax.Array:
+        cfg = self.config
+        B, N, D = x.shape  # N = 1 + f*n
+        H, hd = cfg.num_heads, cfg.head_dim
+        qkv = nn.Dense(
+            3 * D, use_bias=cfg.qkv_bias, kernel_init=_trunc_normal(),
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="qkv",
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        reshape = lambda t: t.reshape(B, N, H, hd).transpose(0, 2, 1, 3)  # [B,H,N,hd]
+        q, k, v = reshape(q), reshape(k), reshape(v)
+        q = q * (hd**-0.5)
+
+        cls_q = q[:, :, :1]
+        cls_out = _masked_softmax_attn(cls_q, k, v)  # [B, H, 1, hd]
+
+        q_, k_, v_ = q[:, :, 1:], k[:, :, 1:], v[:, :, 1:]
+        # group axis: time => groups of n spatial locations attending over f
+        # frames; space => groups of f frames attending over n locations
+        if axis == "time":
+            regroup = lambda t: t.reshape(B, H, f, n, hd).transpose(0, 3, 1, 2, 4)
+            ungroup = lambda t: t.transpose(0, 2, 3, 1, 4).reshape(B, H, f * n, hd)
+            G, L = n, f
+        elif axis == "space":
+            regroup = lambda t: t.reshape(B, H, f, n, hd).transpose(0, 2, 1, 3, 4)
+            ungroup = lambda t: t.transpose(0, 2, 1, 3, 4).reshape(B, H, f * n, hd)
+            G, L = f, n
+        else:
+            raise ValueError(axis)
+        qg = regroup(q_).reshape(B * G, H, L, hd)
+        kg = regroup(k_).reshape(B * G, H, L, hd)
+        vg = regroup(v_).reshape(B * G, H, L, hd)
+        # append CLS k/v to every group
+        cls_k = jnp.repeat(k[:, :, :1], G, axis=0).reshape(B * G, H, 1, hd)
+        cls_v = jnp.repeat(v[:, :, :1], G, axis=0).reshape(B * G, H, 1, hd)
+        kg = jnp.concatenate([cls_k, kg], axis=2)
+        vg = jnp.concatenate([cls_v, vg], axis=2)
+        out = _masked_softmax_attn(qg, kg, vg)  # [B*G, H, L, hd]
+        if axis == "time":
+            out = out.reshape(B, n, H, f, hd).transpose(0, 2, 3, 1, 4)
+        else:
+            out = out.reshape(B, f, H, n, hd).transpose(0, 2, 1, 3, 4)
+        out = out.reshape(B, H, f * n, hd)
+        out = jnp.concatenate([cls_out.astype(out.dtype), out], axis=2)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        return nn.Dense(
+            D, kernel_init=_trunc_normal(), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="proj",
+        )(out)
+
+
+class Mlp(nn.Module):
+    config: MotionFormerConfig
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        cfg = self.config
+        x = nn.Dense(
+            self.hidden, kernel_init=_trunc_normal(), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(cfg.drop_rate, deterministic=not train)(x)
+        x = nn.Dense(
+            self.out, kernel_init=_trunc_normal(), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="fc2",
+        )(x)
+        return nn.Dropout(cfg.drop_rate, deterministic=not train)(x)
+
+
+class DividedSpaceTimeBlock(nn.Module):
+    """Reference ``vit_helper.py:391-473``: time attn (no drop-path on its
+    residual), space attn, MLP. Shaped for ``nn.scan``: per-layer drop-path
+    rate arrives as the scanned input."""
+
+    config: MotionFormerConfig
+
+    @nn.compact
+    def __call__(self, x, broadcast_in, drop_path_rate):
+        cfg = self.config
+        f, n, train = broadcast_in
+        ln = lambda name: nn.LayerNorm(
+            epsilon=cfg.norm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name=name,
+        )
+        time_out = DividedAttention(cfg, name="timeattn")(
+            ln("norm3")(x), "time", f, n
+        )
+        x = x + time_out
+        space_out = DividedAttention(cfg, name="attn")(ln("norm1")(x), "space", f, n)
+        x = x + self._drop_path(space_out, drop_path_rate, train)
+        mlp_out = Mlp(
+            cfg, int(cfg.embed_dim * cfg.mlp_ratio), cfg.embed_dim, name="mlp"
+        )(ln("norm2")(x), train)
+        x = x + self._drop_path(mlp_out, drop_path_rate, train)
+        return x, drop_path_rate
+
+    def _drop_path(self, x, rate, train: bool):
+        if not train or self.config.drop_path_rate == 0.0:
+            return x
+        keep = 1.0 - rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return x * mask.astype(x.dtype) / keep
+
+
+class SpatialAggregationLayer(nn.Module):
+    """CLS-token transformer encoder layer aggregating the 196 spatial
+    tokens of each frame into one 768-d vector (reference
+    ``motionformer.py:367-497``, a ``nn.TransformerEncoderLayer`` with
+    ``norm_first=True``, GELU, ffn = mlp_ratio * d)."""
+
+    config: MotionFormerConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        # x: [Bt, N, D] -> [Bt, D] (CLS output)
+        cfg = self.config
+        D, H, hd = cfg.embed_dim, cfg.num_heads, cfg.head_dim
+        Bt, N, _ = x.shape
+        cls = self.param("cls_token", _trunc_normal(), (1, 1, D), cfg.param_dtype)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (Bt, 1, D)), x], axis=1
+        )
+        # --- self-attention sublayer (pre-norm) ---
+        h = nn.LayerNorm(
+            epsilon=cfg.norm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name="norm1",
+        )(x)
+        qkv = nn.Dense(
+            3 * D, kernel_init=_trunc_normal(), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="in_proj",
+        )(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        reshape = lambda t: t.reshape(Bt, N + 1, H, hd).transpose(0, 2, 1, 3)
+        attn = _masked_softmax_attn(reshape(q) * (hd**-0.5), reshape(k), reshape(v))
+        attn = attn.transpose(0, 2, 1, 3).reshape(Bt, N + 1, D)
+        attn = nn.Dense(
+            D, kernel_init=_trunc_normal(), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="out_proj",
+        )(attn)
+        x = x + nn.Dropout(cfg.drop_rate, deterministic=not train)(attn)
+        # --- feedforward sublayer (pre-norm) ---
+        h = nn.LayerNorm(
+            epsilon=cfg.norm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name="norm2",
+        )(x)
+        h = nn.Dense(
+            cfg.mlp_ratio * D, kernel_init=_trunc_normal(), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="linear1",
+        )(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(cfg.drop_rate, deterministic=not train)(h)
+        h = nn.Dense(
+            D, kernel_init=_trunc_normal(), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="linear2",
+        )(h)
+        x = x + nn.Dropout(cfg.drop_rate, deterministic=not train)(h)
+        return x[:, 0]
+
+
+class MotionFormer(nn.Module):
+    """Divided space-time ViT feature extractor.
+
+    ``__call__(frames)`` takes ``[B, S, C, T, H, W]`` (reference torch
+    layout) and returns ``(features, global_repr)`` with features
+    ``[B, S, t, D]`` (t=8) — matching reference ``motionformer.py:252-303``.
+    """
+
+    config: MotionFormerConfig
+
+    @nn.compact
+    def __call__(
+        self, frames: jax.Array, train: bool = False
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        cfg = self.config
+        B, S, C, T, H, W = frames.shape
+        t = T // cfg.z_block_size
+        hw = cfg.num_spatial_patches
+        x = frames.reshape(B * S, C, T, H, W).transpose(0, 2, 3, 4, 1)  # NTHWC
+        x = x.astype(cfg.dtype)
+        # 3D patch embed (torch flatten order: t-major, then h, w)
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.z_block_size, cfg.patch_size, cfg.patch_size),
+            strides=(cfg.z_block_size, cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="patch_embed_3d",
+        )(x)
+        x = x.reshape(B * S, t * hw, cfg.embed_dim)
+
+        cls_token = self.param(
+            "cls_token", _trunc_normal(), (1, 1, cfg.embed_dim), cfg.param_dtype
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token.astype(x.dtype), (B * S, 1, cfg.embed_dim)), x],
+            axis=1,
+        )
+
+        pos_embed = self.param(
+            "pos_embed", _trunc_normal(), (1, hw + 1, cfg.embed_dim), cfg.param_dtype
+        )
+        if cfg.pos_embed_type == "separate":
+            temp_embed = self.param(
+                "temp_embed",
+                nn.initializers.zeros,
+                (1, cfg.temporal_resolution, cfg.embed_dim),
+                cfg.param_dtype,
+            )
+            tile_pos = jnp.tile(pos_embed[:, 1:], (1, cfg.temporal_resolution, 1))
+            tile_temp = jnp.repeat(temp_embed, hw, axis=1)
+            total = jnp.concatenate([pos_embed[:, :1], tile_pos + tile_temp], axis=1)
+        else:  # joint
+            total = self.param(
+                "st_embed",
+                _trunc_normal(),
+                (1, cfg.num_patches + 1, cfg.embed_dim),
+                cfg.param_dtype,
+            )
+        x = x + total.astype(x.dtype)
+        x = nn.Dropout(cfg.drop_rate, deterministic=not train)(x)
+
+        dpr = jnp.asarray(
+            np.linspace(0.0, cfg.drop_path_rate, cfg.depth), dtype=jnp.float32
+        )
+        blocks = nn.scan(
+            DividedSpaceTimeBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, 0),
+            out_axes=0,
+            length=cfg.depth,
+        )(cfg, name="blocks")
+        x, _ = blocks(x, (t, hw, train), dpr)
+
+        # feature extraction: drop CLS, then norm (reference motionformer.py:317-321)
+        x = x[:, 1:]
+        x = nn.LayerNorm(
+            epsilon=cfg.norm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name="norm",
+        )(x)
+
+        if not cfg.factorize_space_time:
+            return x.reshape(B, S, t * hw, cfg.embed_dim), None
+
+        # restore (t, h*w) and aggregate space per frame
+        x = x.reshape(B * S, t, hw, cfg.embed_dim)
+        if cfg.agg_space_module == "TransformerEncoderLayer":
+            x = x.reshape(B * S * t, hw, cfg.embed_dim)
+            x = SpatialAggregationLayer(cfg, name="spatial_attn_agg")(x, train)
+            x = x.reshape(B * S, t, cfg.embed_dim)
+        else:  # AveragePooling
+            x = jnp.mean(x, axis=2)
+
+        if cfg.agg_time_module == "TransformerEncoderLayer":
+            raise NotImplementedError(
+                "temporal TransformerEncoderLayer aggregation is not used by "
+                "the V-AURA configs (agg_time_module is Identity)"
+            )
+        elif cfg.agg_time_module == "AveragePooling":
+            x = jnp.mean(x, axis=1)
+
+        feats = x.reshape(B, S, *x.shape[1:])
+        global_repr = None
+        return feats, global_repr

@@ -1,0 +1,608 @@
+"""Multi-codebook autoregressive sampler (Llama-style decoder), TPU-first.
+
+Behavioral equivalent of the reference's LlamaGen-style ``Transformer``
+(reference ``models/modules/sampler/llama.py:286-586``): per-codebook token
+embeddings summed, AVCLIP visual features MLP-projected and fused by channel
+concatenation, RoPE, RMSNorm + SwiGLU blocks, per-codebook LM heads.
+
+TPU-first redesign:
+  * The 24 decoder blocks run under ``nn.scan`` with stacked parameters —
+    one compiled block, fast compile, and a natural ``layers`` axis for
+    FSDP/TP sharding.
+  * The KV cache is a *live* design (the reference defines one but never
+    uses it — ``llama.py:180-196,213,477``): an explicit ``[L, B, S, H, D]``
+    pytree threaded functionally through ``prefill``/``decode_step`` so a
+    single compiled step serves every decode position.
+  * The 9 LM heads are one fused ``[d_model, K*vocab]`` matmul (zero-init
+    like reference ``llama.py:384-385``).
+  * The per-codebook DAC-factored embeddings (8-d codebook entry ->
+    weight-normed 1x1 projection, reference ``llama.py:60-73,387-412``) are
+    a flattened gather + batched matmul.
+
+Compute runs in ``config.dtype`` (bfloat16 by default) with float32 norms
+and softmax; parameters stay float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vaura_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
+
+
+def find_multiple(n: int, k: int) -> int:
+    return n if n % k == 0 else n + k - (n % k)
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Static hyperparameters of the decoder.
+
+    Field names track the reference YAML schema
+    (``configs/modules/samplers/llama_9cbs.yaml``) where applicable.
+    """
+
+    num_layers: int = 24
+    d_model: int = 1536
+    d_codebook: int = 1024  # vocabulary per codebook (without the special token)
+    num_codebooks: int = 9
+    nhead: int = 16
+    n_kv_head: Optional[int] = None
+    block_size_audio: int = 256
+    block_size_video: int = 64
+    dropout: float = 0.1
+    class_dropout_prob: float = 0.1
+    attn_dropout_p: float = 0.0
+    drop_path_rate: float = 0.0
+    layer_norm_eps: float = 1e-5
+    rope_base: float = 10000.0
+    multiple_of: int = 256
+    ffn_dim_multiplier: Optional[float] = None
+    initializer_range: float = 0.02
+    cond_in_dim: int = 768  # AVCLIP feature dim
+    cond_feature_channel_scaler: int = 3
+    cond_token_num: int = 32
+    codebook_dim: int = 8  # DAC codebook entry dim (factored embedding)
+    dac_factored_embeddings: bool = True
+    use_visual_conditioning: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @property
+    def block_size(self) -> int:
+        return max(self.block_size_audio, self.block_size_video)
+
+    @property
+    def head_dim(self) -> int:
+        assert self.d_model % self.nhead == 0
+        return self.d_model // self.nhead
+
+    @property
+    def n_kv_heads(self) -> int:
+        return self.n_kv_head if self.n_kv_head is not None else self.nhead
+
+    @property
+    def cond_dim(self) -> int:
+        return self.d_model // self.cond_feature_channel_scaler
+
+    @property
+    def token_dim(self) -> int:
+        # channel-concat fusion: cond_dim + token_dim == d_model
+        # (reference llama.py:471-473; 512 + 1024 = 1536 for the 9cb config)
+        return self.d_model - self.cond_dim
+
+    @property
+    def ffn_hidden_dim(self) -> int:
+        hidden = int(2 * (4 * self.d_model) / 3)
+        if self.ffn_dim_multiplier is not None:
+            hidden = int(self.ffn_dim_multiplier * hidden)
+        return find_multiple(hidden, self.multiple_of)
+
+    @property
+    def vocab_with_special(self) -> int:
+        return self.d_codebook + 1
+
+    @property
+    def special_token_id(self) -> int:
+        return self.d_codebook
+
+    def build(self) -> "Sampler":
+        return Sampler(self)
+
+
+def SamplerSpec(**kwargs) -> SamplerConfig:
+    """Config shim accepting the reference YAML parameter set
+    (``llama_9cbs.yaml``). Keys the reference itself ignores
+    (``dim_feedforward`` — see reference ``llama.py:161-177`` — plus
+    torch-API artifacts) are accepted and dropped.
+    """
+    ignored = {
+        "dim_feedforward",
+        "activation",
+        "batch_first",
+        "norm_first",
+        "positional_embedder",
+        "use_delay_strategy",
+    }
+    clean = {k: v for k, v in kwargs.items() if k not in ignored}
+    if "dropout" in clean:
+        clean.setdefault("class_dropout_prob", 0.1)
+    valid = {f.name for f in dataclasses.fields(SamplerConfig)}
+    unknown = set(clean) - valid
+    if unknown:
+        raise TypeError(f"Unknown sampler config keys: {sorted(unknown)}")
+    return SamplerConfig(**clean)
+
+
+# --------------------------------------------------------------------- #
+# building blocks
+# --------------------------------------------------------------------- #
+class RMSNorm(nn.Module):
+    """Root-mean-square norm in float32 (reference ``llama.py:147-158``)."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        norm = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        return (norm * weight).astype(x.dtype)
+
+
+class FeedForward(nn.Module):
+    """SwiGLU FFN (reference ``llama.py:161-177``)."""
+
+    config: SamplerConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        cfg = self.config
+        init = nn.initializers.normal(cfg.initializer_range)
+        dense = lambda feats, name: nn.Dense(
+            feats,
+            use_bias=False,
+            kernel_init=init,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name=name,
+        )
+        h = jax.nn.silu(dense(cfg.ffn_hidden_dim, "w1")(x)) * dense(
+            cfg.ffn_hidden_dim, "w3"
+        )(x)
+        out = dense(cfg.d_model, "w2")(h)
+        return nn.Dropout(cfg.dropout, deterministic=not train)(out)
+
+
+class Attention(nn.Module):
+    """Causal self-attention with fused QKV, RoPE, and an explicit KV cache.
+
+    Reference ``llama.py:198-260``; unlike the reference, the cache path is
+    live: ``cache_kv=(k,v)`` holds ``[B, S_max, n_kv, head_dim]`` buffers and
+    new keys/values are written at ``pos`` with a dynamic-slice update.
+    """
+
+    config: SamplerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, S, d_model]
+        freqs_cis: jax.Array,  # [S, head_dim//2, 2]
+        mask: jax.Array,  # [S, S_kv] bool (True = attend)
+        cache_kv: Optional[Tuple[jax.Array, jax.Array]],
+        pos: jax.Array,  # scalar int32: write offset into the cache
+        train: bool,
+    ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+        cfg = self.config
+        B, S, _ = x.shape
+        kv_dim = cfg.n_kv_heads * cfg.head_dim
+        init = nn.initializers.normal(cfg.initializer_range)
+        qkv = nn.Dense(
+            cfg.d_model + 2 * kv_dim,
+            use_bias=False,
+            kernel_init=init,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="wqkv",
+        )(x)
+        q, k, v = jnp.split(qkv, [cfg.d_model, cfg.d_model + kv_dim], axis=-1)
+        q = q.reshape(B, S, cfg.nhead, cfg.head_dim)
+        k = k.reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
+        q = apply_rotary_emb(q, freqs_cis)
+        k = apply_rotary_emb(k, freqs_cis)
+
+        if cache_kv is not None:
+            ck, cv = cache_kv
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, pos, 0, 0))
+            keys, values = ck, cv
+            new_cache = (ck, cv)
+        else:
+            keys, values = k, v
+            new_cache = None
+
+        if cfg.n_kv_heads != cfg.nhead:
+            rep = cfg.nhead // cfg.n_kv_heads
+            keys = jnp.repeat(keys, rep, axis=2)
+            values = jnp.repeat(values, rep, axis=2)
+
+        # [B, H, S, S_kv] scores in float32 for numerical stability
+        scale = 1.0 / math.sqrt(cfg.head_dim)
+        scores = jnp.einsum(
+            "bshd,bthd->bhst", q, keys, preferred_element_type=jnp.float32
+        )
+        scores = scores * scale
+        scores = jnp.where(mask[None, None, :, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if cfg.attn_dropout_p > 0.0 and train:
+            probs = nn.Dropout(cfg.attn_dropout_p, deterministic=False)(probs)
+        out = jnp.einsum(
+            "bhst,bthd->bshd", probs.astype(values.dtype), values
+        ).reshape(B, S, cfg.d_model)
+        out = nn.Dense(
+            cfg.d_model,
+            use_bias=False,
+            kernel_init=init,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="wo",
+        )(out.astype(cfg.dtype))
+        out = nn.Dropout(cfg.dropout, deterministic=not train)(out)
+        return out, new_cache
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm residual block (reference ``llama.py:263-283``).
+
+    Shaped for ``nn.scan``: the carry is the hidden state, the per-layer
+    scanned input/output is the layer's KV-cache slice. ``train`` rides in
+    the broadcast tuple as a static python bool; a zero-length cache
+    (``S == 0``) statically disables the cache path.
+    """
+
+    config: SamplerConfig
+
+    @nn.compact
+    def __call__(self, x, broadcast_in, cache_layer):
+        freqs_cis, mask, pos, train = broadcast_in
+        cfg = self.config
+        use_cache = cache_layer[0].shape[1] > 0
+        attn_out, new_cache = Attention(cfg, name="attention")(
+            RMSNorm(cfg.d_model, cfg.layer_norm_eps, name="attention_norm")(x),
+            freqs_cis,
+            mask,
+            cache_layer if use_cache else None,
+            pos,
+            train,
+        )
+        h = x + self._drop_path(attn_out, train)
+        ffn_out = FeedForward(cfg, name="feed_forward")(
+            RMSNorm(cfg.d_model, cfg.layer_norm_eps, name="ffn_norm")(h), train
+        )
+        out = h + self._drop_path(ffn_out, train)
+        return out, (new_cache if use_cache else cache_layer)
+
+    def _drop_path(self, x: jax.Array, train: bool) -> jax.Array:
+        # stochastic depth (reference utils/drop_path.py); default rate 0
+        rate = self.config.drop_path_rate
+        if rate == 0.0 or not train:
+            return x
+        keep = 1.0 - rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return x * mask / keep
+
+
+class MultiCodebookEmbedding(nn.Module):
+    """Sum of per-codebook token embeddings (reference ``llama.py:455-460``).
+
+    Two parameterizations:
+      * DAC-factored (default, matches reference ``initialize_embeddings``,
+        ``llama.py:387-412``): per codebook an ``[V+1, codebook_dim]`` table
+        (DAC codebook + trainable special row) followed by a weight-normed
+        1x1 projection to ``token_dim``.
+      * Plain: per codebook an ``[V+1, token_dim]`` table.
+    All codebooks are gathered from one flattened table in a single take.
+    """
+
+    config: SamplerConfig
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array) -> jax.Array:  # [B, K, S] -> [B, S, D]
+        cfg = self.config
+        K, V1 = cfg.num_codebooks, cfg.vocab_with_special
+        init = nn.initializers.normal(cfg.initializer_range)
+        B, Kt, S = tokens.shape
+        assert Kt == K
+        offsets = (jnp.arange(K, dtype=jnp.int32) * V1)[None, :, None]
+        flat_idx = tokens.astype(jnp.int32) + offsets  # [B, K, S]
+        if cfg.dac_factored_embeddings:
+            emb = self.param("emb", init, (K * V1, cfg.codebook_dim), cfg.param_dtype)
+            proj_v = self.param(
+                "proj_v", init, (K, cfg.token_dim, cfg.codebook_dim), cfg.param_dtype
+            )
+            proj_g = self.param(
+                "proj_g", nn.initializers.ones, (K, cfg.token_dim, 1), cfg.param_dtype
+            )
+            proj_b = self.param(
+                "proj_b", nn.initializers.zeros, (K, cfg.token_dim), cfg.param_dtype
+            )
+            e = jnp.take(emb, flat_idx.reshape(-1), axis=0).reshape(
+                B, K, S, cfg.codebook_dim
+            )
+            # weight norm: W = g * v / ||v|| over the input axis
+            norm = jnp.sqrt(jnp.sum(proj_v**2, axis=-1, keepdims=True) + 1e-12)
+            W = (proj_g * proj_v / norm).astype(cfg.dtype)
+            out = jnp.einsum(
+                "bksc,ktc->bst", e.astype(cfg.dtype), W,
+                preferred_element_type=jnp.float32,
+            )
+            out = out + jnp.sum(proj_b, axis=0)[None, None, :]
+            return out.astype(cfg.dtype)
+        emb = self.param("emb", init, (K * V1, cfg.token_dim), cfg.param_dtype)
+        e = jnp.take(emb, flat_idx.reshape(-1), axis=0).reshape(
+            B, K, S, cfg.token_dim
+        )
+        return jnp.sum(e, axis=1).astype(cfg.dtype)
+
+
+class AVCLIPEmbedder(nn.Module):
+    """Visual-feature projection + CFG condition dropout
+    (reference ``llama.py:95-141``).
+
+    ``uncond_embedding`` mirrors the reference's registered buffer: it joins
+    the param pytree for checkpointing but is excluded from optimization by
+    the train-state freeze mask (see ``vaura_tpu.train.state``).
+    """
+
+    config: SamplerConfig
+
+    def setup(self):
+        cfg = self.config
+        init = nn.initializers.normal(cfg.initializer_range)
+        self.fc1 = nn.Dense(
+            cfg.cond_dim, use_bias=False, kernel_init=init,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1",
+        )
+        self.fc2 = nn.Dense(
+            cfg.cond_dim, use_bias=False, kernel_init=init,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2",
+        )
+        self.uncond_embedding = self.param(
+            "uncond_embedding",
+            lambda rng, shape: jax.random.normal(rng, shape, jnp.float32)
+            / cfg.cond_in_dim**0.5,
+            (cfg.cond_token_num, cfg.cond_in_dim),
+        )
+
+    def token_drop(self, feats: jax.Array, rng: jax.Array) -> jax.Array:
+        """Replace whole samples with the uncond embedding w.p.
+        ``class_dropout_prob`` (reference ``llama.py:125-134``)."""
+        drop = jax.random.uniform(rng, (feats.shape[0],)) < self.config.class_dropout_prob
+        uncond = jnp.broadcast_to(
+            self.uncond_embedding.astype(feats.dtype)[: feats.shape[1]], feats.shape
+        )
+        return jnp.where(drop[:, None, None], uncond, feats)
+
+    def project(self, x: jax.Array) -> jax.Array:
+        h = self.fc1(x.astype(self.config.dtype))
+        h = nn.gelu(h, approximate=True)
+        return self.fc2(h)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if train and self.config.class_dropout_prob > 0.0:
+            x = self.token_drop(x, self.make_rng("cfg_dropout"))
+        return self.project(x)
+
+    def uncond(self, batch: int, n_tokens: int) -> jax.Array:
+        """The projected null condition for CFG inference
+        (reference ``vaura_model.py:790-794``)."""
+        uncond = self.uncond_embedding[None, :n_tokens].astype(self.config.dtype)
+        uncond = jnp.broadcast_to(
+            uncond, (batch, n_tokens, self.config.cond_in_dim)
+        )
+        return self.project(uncond)
+
+
+def repeat_video_tokens(
+    cond_emb: jax.Array,  # [B, Tv, D] projected visual tokens
+    seq_len: int,
+    tokens_per_frame: int,
+    empty_emb: jax.Array,  # [D] learned padding embedding
+) -> jax.Array:
+    """Repeat each video token ``tokens_per_frame``x along the audio axis,
+    padding overflow positions with ``empty_emb``
+    (reference ``llama.py:555-586``)."""
+    B, Tv, D = cond_emb.shape
+    pos = jnp.arange(seq_len, dtype=jnp.int32)
+    frame = pos // tokens_per_frame
+    gathered = jnp.take(cond_emb, jnp.clip(frame, 0, Tv - 1), axis=1)  # [B, S, D]
+    valid = (frame < Tv)[None, :, None]
+    return jnp.where(valid, gathered, empty_emb.astype(cond_emb.dtype)[None, None, :])
+
+
+def default_tokens_per_frame(seq_len: int, n_video_tokens: int, num_codebooks: int,
+                             pattern_name: str = "delayed") -> int:
+    """Reference ``llama.py:544-553``: subtract the special-token tail
+    (one per codebook for the delayed pattern), then ceil-divide."""
+    ta = seq_len - num_codebooks if "delayed" in pattern_name.lower() else seq_len - 1
+    return math.ceil(ta / n_video_tokens)
+
+
+# --------------------------------------------------------------------- #
+# the sampler
+# --------------------------------------------------------------------- #
+class Sampler(nn.Module):
+    """The AR decoder. Three entry points:
+
+    * ``__call__(tokens, cond_feats, train)`` — full-sequence causal forward
+      for training/teacher-forcing; returns ``[B, K, S, vocab]`` logits.
+    * ``prefill(tokens, cond_seq, cache)`` — full causal forward that also
+      writes every position's K/V into the cache (prompt ingestion).
+    * ``decode_step(tokens_t, cond_t, cache, pos)`` — one-token step against
+      the cache; the compiled unit of the generation loop.
+    """
+
+    config: SamplerConfig
+
+    def setup(self):
+        cfg = self.config
+        self.tok_embeddings = MultiCodebookEmbedding(cfg, name="tok_embeddings")
+        self.cls_embeddings = AVCLIPEmbedder(cfg, name="cls_embeddings")
+        self.empty_video_emb = self.param(
+            "empty_video_emb",
+            nn.initializers.normal(cfg.initializer_range),
+            (cfg.cond_dim,),
+            cfg.param_dtype,
+        )
+        block = nn.scan(
+            TransformerBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, 0),
+            out_axes=0,
+            length=cfg.num_layers,
+        )
+        self.layers = block(cfg, name="layers")
+        self.tok_dropout = nn.Dropout(cfg.dropout)
+        self.norm = RMSNorm(cfg.d_model, cfg.layer_norm_eps, name="norm")
+        # fused per-codebook heads, zero-init (reference llama.py:356-361,384-385)
+        self.lm_head = nn.Dense(
+            cfg.num_codebooks * cfg.d_codebook,
+            use_bias=False,
+            kernel_init=nn.initializers.zeros,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="lm_head",
+        )
+
+    # -------------------------- helpers -------------------------- #
+    def _freqs(self) -> jax.Array:
+        return jnp.asarray(
+            precompute_freqs_cis(
+                self.config.block_size, self.config.head_dim, self.config.rope_base
+            )
+        )
+
+    def _run_blocks(self, h, freqs_cis, mask, cache, pos, train):
+        cfg = self.config
+        if cache is None:
+            # zero-length cache statically disables the cache path in-scan
+            empty = jnp.zeros(
+                (cfg.num_layers, h.shape[0], 0, cfg.n_kv_heads, cfg.head_dim),
+                dtype=cfg.dtype,
+            )
+            cache = (empty, empty)
+            h, _ = self.layers(h, (freqs_cis, mask, pos, train), cache)
+            return h, None
+        h, new_cache = self.layers(h, (freqs_cis, mask, pos, train), cache)
+        return h, new_cache
+
+    def _logits(self, h: jax.Array) -> jax.Array:
+        cfg = self.config
+        B, S, _ = h.shape
+        out = self.lm_head(self.norm(h))
+        out = out.reshape(B, S, cfg.num_codebooks, cfg.d_codebook)
+        return jnp.transpose(out, (0, 2, 1, 3))  # [B, K, S, vocab]
+
+    def embed_cond(self, cond_feats: jax.Array, train: bool) -> jax.Array:
+        """Project raw AVCLIP features ``[B, Tv, 768] -> [B, Tv, cond_dim]``
+        (CFG token-drop applied when training)."""
+        return self.cls_embeddings(cond_feats, train=train)
+
+    def uncond_cond_emb(self, batch: int, n_tokens: int) -> jax.Array:
+        return self.cls_embeddings.uncond(batch, n_tokens)
+
+    def build_cond_seq(
+        self, cond_emb: jax.Array, seq_len: int, tokens_per_frame: int
+    ) -> jax.Array:
+        """[B, Tv, cond_dim] -> [B, seq_len, cond_dim] per-position stream."""
+        return repeat_video_tokens(
+            cond_emb, seq_len, tokens_per_frame, self.empty_video_emb
+        )
+
+    # ------------------------ entry points ------------------------ #
+    def __call__(
+        self,
+        tokens: jax.Array,  # [B, K, S] int
+        cond_feats: jax.Array,  # [B, Tv, cond_in_dim] raw visual features
+        train: bool = False,
+        tokens_per_frame: Optional[int] = None,
+    ) -> jax.Array:
+        """Teacher-forced causal forward (reference ``llama.py:445-517``)."""
+        cfg = self.config
+        B, K, S = tokens.shape
+        tok_emb = self.tok_embeddings(tokens)  # [B, S, token_dim]
+        if tokens_per_frame is None:
+            tokens_per_frame = default_tokens_per_frame(
+                S, cond_feats.shape[1], cfg.num_codebooks
+            )
+        cond_emb = self.embed_cond(cond_feats, train)
+        cond_seq = self.build_cond_seq(cond_emb, S, tokens_per_frame)
+        h = jnp.concatenate([cond_seq, tok_emb], axis=-1)  # [B, S, d_model]
+        h = self.tok_dropout(h, deterministic=not train)
+        freqs_cis = self._freqs()[:S]
+        mask = jnp.tril(jnp.ones((S, S), dtype=bool))
+        h, _ = self._run_blocks(h, freqs_cis, mask, None, jnp.int32(0), train)
+        return self._logits(h)
+
+    def init_cache(self, batch: int, max_seq: int, dtype=None) -> Dict[str, jax.Array]:
+        cfg = self.config
+        dtype = dtype or cfg.dtype
+        shape = (cfg.num_layers, batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+    def prefill(
+        self,
+        tokens: jax.Array,  # [B, K, S_max] (padded; garbage beyond valid_len is fine)
+        cond_seq: jax.Array,  # [B, S_max, cond_dim] prebuilt per-position stream
+        cache: Dict[str, jax.Array],
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """Causal forward over the padded prompt writing all K/V into the
+        cache. Returns logits ``[B, K, S_max, vocab]`` and the new cache.
+        Decode steps mask by position, so positions beyond the prompt's
+        valid length holding garbage K/V are never attended."""
+        cfg = self.config
+        B, K, S = tokens.shape
+        tok_emb = self.tok_embeddings(tokens)
+        h = jnp.concatenate([cond_seq.astype(tok_emb.dtype), tok_emb], axis=-1)
+        freqs_cis = self._freqs()[:S]
+        mask = jnp.tril(jnp.ones((S, S), dtype=bool))
+        h, new_cache = self._run_blocks(
+            h, freqs_cis, mask, (cache["k"], cache["v"]), jnp.int32(0), False
+        )
+        return self._logits(h), {"k": new_cache[0], "v": new_cache[1]}
+
+    def decode_step(
+        self,
+        tokens_t: jax.Array,  # [B, K, 1] tokens at position `pos`
+        cond_t: jax.Array,  # [B, 1, cond_dim] conditioning at position `pos`
+        cache: Dict[str, jax.Array],
+        pos: jax.Array,  # scalar int32
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """One decode step: returns next-token logits ``[B, K, vocab]`` and
+        the updated cache."""
+        cfg = self.config
+        B = tokens_t.shape[0]
+        S_max = cache["k"].shape[2]
+        tok_emb = self.tok_embeddings(tokens_t)  # [B, 1, token_dim]
+        h = jnp.concatenate([cond_t.astype(tok_emb.dtype), tok_emb], axis=-1)
+        freqs_cis = jax.lax.dynamic_slice(
+            self._freqs(), (pos, 0, 0), (1, cfg.head_dim // 2, 2)
+        )
+        mask = (jnp.arange(S_max) <= pos)[None, :]  # [1, S_max]
+        h, new_cache = self._run_blocks(
+            h, freqs_cis, mask, (cache["k"], cache["v"]), pos, False
+        )
+        logits = self._logits(h)  # [B, K, 1, vocab]
+        return logits[:, :, 0, :], {"k": new_cache[0], "v": new_cache[1]}

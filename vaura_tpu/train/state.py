@@ -1,0 +1,114 @@
+"""Train state and optimizer assembly.
+
+Mirrors the reference's optimizer recipe
+(``VAURAModel._configure_sampler_optimizers``, ``vaura_model.py:599-616``):
+AdamW with configurable betas where parameters of rank >= 2 receive weight
+decay and rank < 2 (biases, norms) do not; gradient clipping by value
+(``configs/vaura_defaults.yaml:55-57``); step-interval LR schedules.
+
+Frozen leaves (the reference's registered buffers, e.g. the CFG
+``uncond_embedding``, ``llama.py:113-117``) get zeroed updates via an optax
+mask so they ride in the param pytree for checkpointing but never train.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+FROZEN_LEAF_NAMES = ("uncond_embedding",)
+
+
+def decay_mask(params) -> Any:
+    """True for leaves that should receive weight decay: rank >= 2
+    (reference ``vaura_model.py:606-609``) and not frozen."""
+    flat = flatten_dict(params)
+    out = {
+        k: (v.ndim >= 2 and k[-1] not in FROZEN_LEAF_NAMES)
+        for k, v in flat.items()
+    }
+    return unflatten_dict(out)
+
+
+def trainable_mask(params) -> Any:
+    """False for frozen buffer leaves."""
+    flat = flatten_dict(params)
+    out = {k: k[-1] not in FROZEN_LEAF_NAMES for k, v in flat.items()}
+    return unflatten_dict(out)
+
+
+def make_optimizer(
+    learning_rate: float | Callable,
+    weight_decay: float = 0.0,
+    betas: Tuple[float, float] = (0.9, 0.95),
+    gradient_clip_val: Optional[float] = 1.0,
+    gradient_clip_algorithm: str = "value",
+    params_example: Any = None,
+) -> optax.GradientTransformation:
+    """AdamW with per-rank decay masking + value/norm clipping."""
+    chain = []
+    if gradient_clip_val is not None and gradient_clip_val > 0:
+        if gradient_clip_algorithm == "value":
+            chain.append(optax.clip(gradient_clip_val))
+        elif gradient_clip_algorithm == "norm":
+            chain.append(optax.clip_by_global_norm(gradient_clip_val))
+        else:
+            raise ValueError(gradient_clip_algorithm)
+    chain.append(
+        optax.adamw(
+            learning_rate=learning_rate,
+            b1=betas[0],
+            b2=betas[1],
+            weight_decay=weight_decay,
+            mask=decay_mask,
+        )
+    )
+    tx = optax.chain(*chain)
+    # zero out updates for frozen buffer leaves
+    tx = optax.masked(tx, trainable_mask)
+    return tx
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal functional train state (params here = trainable subtrees)."""
+
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def build_schedule(
+    lr_scheduler_cfg: Optional[dict], base_lr: float
+) -> float | Callable:
+    """Resolve a reference-style ``lr_scheduler`` config block into an optax
+    schedule (or the constant base LR)."""
+    if lr_scheduler_cfg is None:
+        return base_lr
+    from vaura_tpu.config import instantiate_from_config
+
+    spec = instantiate_from_config(
+        {k: v for k, v in lr_scheduler_cfg.items() if k in ("target", "params")}
+    )
+    return spec.build(base_lr)
