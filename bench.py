@@ -1,0 +1,135 @@
+"""Headline benchmark: batched 2.56 s clip generation on one chip.
+
+Measures the full generation hot path of the flagship V-AURA configuration
+(24L x 1536d x 16h decoder, 9 DAC codebooks, CFG 2x batch, top-k 128
+sampling, KV-cache decode via lax.scan, DAC decode to waveform) and prints
+ONE JSON line:
+
+    {"metric": "audio_sec_per_sec_per_chip", "value": X,
+     "unit": "audio_sec/sec/chip", "vs_baseline": X / 5.0}
+
+``vs_baseline`` is measured against the driver's north-star target of 5x
+realtime per v5e chip (BASELINE.md); the reference repo publishes no
+throughput numbers (it recomputes the full prefix per token — an O(S^2)
+path that is far below realtime, reference ``vaura_model.py:502-547``).
+
+Weights are randomly initialized — throughput does not depend on weight
+values. Run: ``python bench.py [--batch B] [--tokens N]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SECONDS_PER_CLIP = 2.56
+TOKENS_PER_SECOND = 86  # DAC 44.1kHz frame rate (reference generate.py:30)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--tokens", type=int, default=221)
+    ap.add_argument("--cfg-scale", type=float, default=6.0)
+    ap.add_argument("--top-k", type=int, default=128)
+    ap.add_argument("--no-dac", action="store_true", help="skip waveform decode")
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    from vaura_tpu.models.dac.model import config_for_sample_rate
+    from vaura_tpu.models.sampler import SamplerConfig
+    from vaura_tpu.models.vaura import VauraSystem
+
+    sampler_cfg = SamplerConfig()  # flagship config
+    dac_cfg = config_for_sample_rate(44100)
+    system = VauraSystem(
+        sampler_config=sampler_cfg,
+        dac_config=dac_cfg,
+        encoder_config=None,
+        use_visual_conditioning=False,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    B, Tv = args.batch, 32
+
+    # random-initialized params (throughput is weight-value independent)
+    r_dac, r_sam = jax.random.split(rng)
+    wav = jnp.zeros((1, 1, dac_cfg.hop_length * 4))
+    dac_params = jax.jit(lambda r: system.dac.init(r, wav)["params"])(r_dac)
+    tokens0 = jnp.zeros((1, sampler_cfg.num_codebooks, 16), jnp.int32)
+    cond0 = jnp.zeros((1, 8, sampler_cfg.cond_in_dim))
+    sam_params = jax.jit(
+        lambda r: system.sampler.init(
+            {"params": r, "dropout": r, "cfg_dropout": r}, tokens0, cond0, False
+        )["params"]
+    )(r_sam)
+    params = {"sampler": sam_params, "dac": dac_params}
+
+    vis_feats = jax.random.normal(
+        jax.random.PRNGKey(1), (B, Tv, sampler_cfg.cond_in_dim), jnp.float32
+    )
+
+    pattern, valid_mask, S = system.prepare_generation(args.tokens)
+    use_cfg = args.cfg_scale > 1.0
+
+    @jax.jit
+    def generate(params, vis_feats, rng):
+        cond_seq = system.build_cond_seq_for_generation(
+            params, vis_feats, S, tokens_per_frame=7, cfg=use_cfg
+        )
+        gen_seq = jnp.full(
+            (B, sampler_cfg.num_codebooks, args.tokens), -1, jnp.int32
+        )
+        gen_seq, _, _ = pattern.build_pattern_sequence(
+            gen_seq, system.special_token_id
+        )
+        gen_seq = system.generate_tokens(
+            params,
+            cond_seq,
+            gen_seq,
+            rng,
+            S=S,
+            valid_mask=valid_mask,
+            temp=1.0,
+            top_k=args.top_k,
+            cfg_scale=args.cfg_scale,
+        )
+        codes, _, _ = pattern.revert_pattern_sequence(gen_seq, -1)
+        codes = jnp.clip(codes[..., : args.tokens], 0, sampler_cfg.d_codebook - 1)
+        if args.no_dac:
+            return codes
+        return system.decode_audio(params, codes)
+
+    # warmup / compile
+    out = generate(params, vis_feats, jax.random.PRNGKey(2))
+    jax.block_until_ready(out)
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        out = generate(params, vis_feats, jax.random.PRNGKey(3 + i))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+
+    audio_seconds = B * args.tokens / TOKENS_PER_SECOND
+    value = audio_seconds / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "audio_sec_per_sec_per_chip",
+                "value": round(value, 3),
+                "unit": "audio_sec/sec/chip",
+                "vs_baseline": round(value / 5.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

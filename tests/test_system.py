@@ -1,0 +1,176 @@
+"""End-to-end slice tests over the composite VauraSystem: train_forward
+wiring, optimizer steps reduce loss (overfit one batch), and the KV-cache
+generation loop produces valid code sequences with prompt preservation —
+the behavior contracts of reference ``vaura_model.py`` forward/generate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaura_tpu.models.dac.model import DacConfig
+from vaura_tpu.models.motionformer import MotionFormerConfig
+from vaura_tpu.models.sampler import SamplerConfig
+from vaura_tpu.models.vaura import UNKNOWN_TOKEN, VauraSystem
+from vaura_tpu.train.state import TrainState, make_optimizer
+from vaura_tpu.train.steps import make_eval_step, make_train_step, split_params
+
+SAMPLER_TINY = SamplerConfig(
+    num_layers=2,
+    d_model=48,
+    d_codebook=16,
+    num_codebooks=3,
+    nhead=4,
+    block_size_audio=64,
+    block_size_video=16,
+    dropout=0.0,
+    class_dropout_prob=0.1,
+    cond_in_dim=24,
+    cond_token_num=8,
+    codebook_dim=4,
+    dtype=jnp.float32,
+)
+DAC_TINY = DacConfig(
+    encoder_dim=8,
+    encoder_rates=(2, 4),
+    decoder_dim=32,
+    decoder_rates=(4, 2),
+    latent_dim=32,
+    n_codebooks=3,
+    codebook_size=16,
+    codebook_dim=4,
+)
+ENC_TINY = MotionFormerConfig(
+    img_size=16,
+    patch_size=8,
+    embed_dim=24,
+    depth=2,
+    num_heads=2,
+    temporal_resolution=2,
+    z_block_size=2,
+    drop_path_rate=0.0,
+    dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def system():
+    sys = VauraSystem(
+        sampler_config=SAMPLER_TINY,
+        dac_config=DAC_TINY,
+        encoder_config=ENC_TINY,
+        freeze_feature_extractor=True,
+    )
+    params = sys.init_params(
+        jax.random.PRNGKey(0), frames_per_segment=4, frame_hw=16
+    )
+    params = sys.load_dac_embeddings_into_sampler(params)
+    return sys, params
+
+
+def _batch(B=2, seed=0):
+    rng = np.random.default_rng(seed)
+    # 2 segments of 4 frames @16x16; audio = 20 hops of the tiny DAC
+    frames = rng.standard_normal((B, 2, 3, 4, 16, 16)).astype(np.float32)
+    audio = rng.standard_normal((B, 1, DAC_TINY.hop_length * 20)).astype(
+        np.float32
+    ) * 0.1
+    return {"frames": jnp.asarray(frames), "audio": jnp.asarray(audio)}
+
+
+def test_train_forward_finite(system):
+    sys, params = system
+    loss, aux = sys.train_forward(
+        params, _batch()["frames"], _batch()["audio"], jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(loss))
+    assert aux["loss_per_codebook"].shape == (3,)
+    # zero-init heads => uniform logits => loss == log(card)
+    assert float(loss) == pytest.approx(np.log(SAMPLER_TINY.d_codebook), rel=1e-3)
+
+
+def test_dac_embedding_init_matches_quantizer(system):
+    """Sampler token embeddings must equal the DAC codebooks after
+    initialize_embeddings-style loading (reference llama.py:387-412)."""
+    sys, params = system
+    K, V, cd = 3, 16, 4
+    emb = np.asarray(params["sampler"]["tok_embeddings"]["emb"]).reshape(
+        K, V + 1, cd
+    )
+    cbs = np.asarray(params["dac"]["quantizer"]["codebooks"])[:K]
+    np.testing.assert_allclose(emb[:, :V], cbs, atol=1e-6)
+
+
+def test_loss_decreases_overfitting(system):
+    sys, params = system
+    trainable, frozen = split_params(sys, params)
+    tx = make_optimizer(1e-3, weight_decay=0.0, gradient_clip_val=1.0)
+    state = TrainState.create(trainable, tx)
+    step_fn = make_train_step(sys, donate=False)
+    batch = _batch()
+    losses = []
+    for i in range(8):
+        state, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(42))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] - 0.05, losses
+
+
+def test_eval_step_runs(system):
+    sys, params = system
+    trainable, frozen = split_params(sys, params)
+    metrics = make_eval_step(sys)(trainable, frozen, _batch(), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_generate_valid_sequence(system):
+    sys, params = system
+    frames = _batch(B=1)["frames"]
+    out = sys.generate(
+        params,
+        frames,
+        jax.random.PRNGKey(7),
+        max_new_tokens=12,
+        temp=1.0,
+        top_k=8,
+        cfg_scale=2.0,
+        decode_to_audio=True,
+    )
+    codes = np.asarray(out["codes"])
+    assert codes.shape == (1, 3, 12)
+    assert (codes != UNKNOWN_TOKEN).all()
+    assert (codes >= 0).all() and (codes <= SAMPLER_TINY.d_codebook).all()
+    audio = np.asarray(out["audio"])
+    assert audio.shape == (1, 1, 12 * DAC_TINY.hop_length)
+
+
+def test_generate_preserves_prompt(system):
+    sys, params = system
+    frames = _batch(B=1)["frames"]
+    prompt = jnp.asarray(
+        np.random.default_rng(3).integers(0, 16, size=(1, 3, 5)), jnp.int32
+    )
+    out = sys.generate(
+        params,
+        frames,
+        jax.random.PRNGKey(8),
+        audio_prompt_codes=prompt,
+        max_new_tokens=12,
+        top_k=4,
+        decode_to_audio=False,
+    )
+    codes = np.asarray(out["codes"])
+    np.testing.assert_array_equal(codes[..., :5], np.asarray(prompt))
+    assert (codes >= 0).all()
+
+
+def test_generate_greedy_deterministic(system):
+    sys, params = system
+    frames = _batch(B=1)["frames"]
+    kw = dict(max_new_tokens=10, use_sampling=False, decode_to_audio=False)
+    c1 = np.asarray(
+        sys.generate(params, frames, jax.random.PRNGKey(0), **kw)["codes"]
+    )
+    c2 = np.asarray(
+        sys.generate(params, frames, jax.random.PRNGKey(99), **kw)["codes"]
+    )
+    np.testing.assert_array_equal(c1, c2)

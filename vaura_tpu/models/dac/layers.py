@@ -74,10 +74,13 @@ class ConvTranspose1d(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
+        # (W, in, out) — with transpose_kernel=True the "WOI" spec's O slot
+        # carries the input channels (gradient-of-conv semantics), matching
+        # torch ConvTranspose1d's (in, out, W) layout up to a transpose.
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (self.kernel_size, self.features, in_ch),  # (W, O, I): transpose layout
+            (self.kernel_size, in_ch, self.features),
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)

@@ -62,6 +62,7 @@ class VauraSystem:
     dac_config: DacConfig
     encoder_config: Optional[MotionFormerConfig] = None
     pattern_provider: Optional[CodebooksPatternProvider] = None
+    bridge: Optional[Any] = None  # flax module or None (identity)
     use_visual_conditioning: bool = True
     freeze_feature_extractor: bool = False
     flatten_vis_feats: bool = False
@@ -74,6 +75,10 @@ class VauraSystem:
             if (self.use_visual_conditioning and self.encoder_config is not None)
             else None
         )
+        from vaura_tpu.models.bridges import IdentityBridge
+
+        if self.bridge is not None and isinstance(self.bridge, IdentityBridge):
+            self.bridge = None  # identity bridge carries no params; skip
         if self.pattern_provider is None:
             self.pattern_provider = DelayedPatternProvider(
                 n_q=self.sampler_config.num_codebooks
@@ -110,6 +115,9 @@ class VauraSystem:
                 (1, 1, 3, frames_per_segment, frame_hw, frame_hw), jnp.float32
             )
             params["encoder"] = self.encoder.init(r_enc, frames)["params"]
+        if self.bridge is not None:
+            feats = jnp.zeros((1, 8, self.sampler_config.cond_in_dim))
+            params["bridge"] = self.bridge.init(r_enc, feats)["params"]
         Ta = 16
         tokens = jnp.zeros((1, self.num_codebooks, Ta), jnp.int32)
         cond = jnp.zeros((1, 8, self.sampler_config.cond_in_dim))
@@ -178,6 +186,8 @@ class VauraSystem:
         feats = feats.reshape(B, S * t, D)
         if self.freeze_feature_extractor:
             feats = jax.lax.stop_gradient(feats)
+        if self.bridge is not None:
+            feats = self.bridge.apply({"params": params["bridge"]}, feats)
         return feats
 
     # ------------------------------------------------------------------ #
@@ -362,7 +372,6 @@ class VauraSystem:
         cache = self.sampler.init_cache(
             cache_batch, S, dtype=cache_dtype or self.sampler_config.dtype
         )
-        cache = (cache["k"], cache["v"])
 
         def body(carry, s):
             return step(params["sampler"], carry, s)

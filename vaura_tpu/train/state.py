@@ -24,22 +24,30 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 FROZEN_LEAF_NAMES = ("uncond_embedding",)
 
 
-def decay_mask(params) -> Any:
-    """True for leaves that should receive weight decay: rank >= 2
-    (reference ``vaura_model.py:606-609``) and not frozen."""
+def param_labels(params) -> Any:
+    """Label each leaf: ``decay`` (rank >= 2, reference
+    ``vaura_model.py:606-609``), ``nodecay`` (biases/norms), or ``frozen``
+    (registered-buffer equivalents)."""
     flat = flatten_dict(params)
-    out = {
-        k: (v.ndim >= 2 and k[-1] not in FROZEN_LEAF_NAMES)
-        for k, v in flat.items()
-    }
+    out = {}
+    for k, v in flat.items():
+        if k[-1] in FROZEN_LEAF_NAMES:
+            out[k] = "frozen"
+        elif getattr(v, "ndim", 0) >= 2:
+            out[k] = "decay"
+        else:
+            out[k] = "nodecay"
     return unflatten_dict(out)
+
+
+def decay_mask(params) -> Any:
+    labels = flatten_dict(param_labels(params))
+    return unflatten_dict({k: v == "decay" for k, v in labels.items()})
 
 
 def trainable_mask(params) -> Any:
-    """False for frozen buffer leaves."""
-    flat = flatten_dict(params)
-    out = {k: k[-1] not in FROZEN_LEAF_NAMES for k, v in flat.items()}
-    return unflatten_dict(out)
+    labels = flatten_dict(param_labels(params))
+    return unflatten_dict({k: v != "frozen" for k, v in labels.items()})
 
 
 def make_optimizer(
@@ -48,9 +56,9 @@ def make_optimizer(
     betas: Tuple[float, float] = (0.9, 0.95),
     gradient_clip_val: Optional[float] = 1.0,
     gradient_clip_algorithm: str = "value",
-    params_example: Any = None,
 ) -> optax.GradientTransformation:
-    """AdamW with per-rank decay masking + value/norm clipping."""
+    """AdamW with per-rank decay masking + value/norm clipping; frozen
+    buffer leaves get zero updates."""
     chain = []
     if gradient_clip_val is not None and gradient_clip_val > 0:
         if gradient_clip_algorithm == "value":
@@ -59,19 +67,23 @@ def make_optimizer(
             chain.append(optax.clip_by_global_norm(gradient_clip_val))
         else:
             raise ValueError(gradient_clip_algorithm)
+
+    def adamw(wd: float) -> optax.GradientTransformation:
+        return optax.adamw(
+            learning_rate=learning_rate, b1=betas[0], b2=betas[1], weight_decay=wd
+        )
+
     chain.append(
-        optax.adamw(
-            learning_rate=learning_rate,
-            b1=betas[0],
-            b2=betas[1],
-            weight_decay=weight_decay,
-            mask=decay_mask,
+        optax.multi_transform(
+            {
+                "decay": adamw(weight_decay),
+                "nodecay": adamw(0.0),
+                "frozen": optax.set_to_zero(),
+            },
+            param_labels,
         )
     )
-    tx = optax.chain(*chain)
-    # zero out updates for frozen buffer leaves
-    tx = optax.masked(tx, trainable_mask)
-    return tx
+    return optax.chain(*chain)
 
 
 class TrainState(struct.PyTreeNode):
