@@ -1,0 +1,69 @@
+"""CLI entry point (reference ``main.py``): layered config assembly + action
+dispatch.
+
+Usage::
+
+    python main.py config=configs/experiments/dummy.yaml [key=value ...]
+
+Actions: ``train`` | ``test`` | ``generate`` (``eval`` points at the
+external evaluation framework like the reference, ``main.py:109-111``;
+``finetune`` is not implemented, matching ``main.py:114-115``).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).absolute().parent
+
+logging.basicConfig(level=logging.WARNING)
+logger = logging.getLogger("vaura_tpu")
+
+
+def get_config(argv):
+    from vaura_tpu.config import assemble_config, check_mandatory
+
+    cfg = assemble_config(
+        argv,
+        defaults_path=REPO_ROOT / "configs" / "vaura_defaults.yaml",
+        base_dir=REPO_ROOT,
+    )
+    check_mandatory(cfg)
+    return cfg
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = get_config(argv)
+    action = cfg.get("action")
+    logger.setLevel(logging.INFO)
+
+    if action == "train":
+        from scripts.train import train
+
+        train(cfg)
+    elif action == "test":
+        from scripts.test import test
+
+        test(cfg)
+    elif action in ("generate", "predict"):
+        from scripts.generate import generate
+
+        generate(cfg)
+    elif action == "eval":
+        print(
+            "Evaluation lives in an external framework "
+            "(see reference README.md:93): run generate first, then point "
+            "the eval tooling at the output directory."
+        )
+    elif action == "finetune":
+        raise NotImplementedError("finetune is not implemented")
+    else:
+        raise ValueError(f"Unknown action {action!r}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

