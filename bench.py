@@ -105,15 +105,21 @@ def main() -> None:
             return codes
         return system.decode_audio(params, codes)
 
-    # warmup / compile
+    from vaura_tpu.utils import cast_floats
+
+    # bf16 weights for inference: halves the per-step HBM weight streaming
+    params = cast_floats(params, jnp.bfloat16)
+
+    # warmup / compile (np.asarray forces a host sync — block_until_ready
+    # can return early under remote-execution PJRT relays)
     out = generate(params, vis_feats, jax.random.PRNGKey(2))
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])
 
     times = []
     for i in range(args.iters):
         t0 = time.perf_counter()
         out = generate(params, vis_feats, jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(out)
+        np.asarray(jax.tree.leaves(out)[0])
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
 

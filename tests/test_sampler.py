@@ -137,18 +137,13 @@ def test_prefill_matches_full_forward(setup):
     cond_seq = model.apply(
         {"params": params}, cond_emb, S, tpf, method=model.build_cond_seq
     )
-    cache = model.apply({"params": params}, B, S, method=model.init_cache)
     logits, new_cache = model.apply(
-        {"params": params}, tokens, cond_seq, cache, method=model.prefill
+        {"params": params}, tokens, cond_seq, method=model.prefill
     )
     np.testing.assert_allclose(np.asarray(full), np.asarray(logits), atol=2e-4)
-    # the cache written by prefill continues correctly: decode one more
-    # step against a longer buffer
-    cache2 = model.apply({"params": params}, B, S + 1, method=model.init_cache)
-    cache2 = {
-        "k": cache2["k"].at[:, :, :S].set(new_cache["k"]),
-        "v": cache2["v"].at[:, :, :S].set(new_cache["v"]),
-    }
+    assert new_cache["k"].shape == (
+        TINY.num_layers, B, S, TINY.n_kv_heads, TINY.head_dim
+    )
 
 
 def test_tokens_per_frame_rule():

@@ -1,0 +1,43 @@
+"""AudioSet dataset/datamodule (reference ``models/data/audioset_dataset.py``
+/ ``audioset_datamodule.py``): same shape as VGGSound plus a multi-label
+CSV (``audioset_dataset.py:87-92``)."""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+from typing import Optional
+
+from vaura_tpu.data.core import DataLoader, DataModule
+from vaura_tpu.data.vggsound import VggSoundDataModule, VggSoundDataset
+
+
+class AudioSetDataset(VggSoundDataset):
+    def __init__(self, *args, label_csv_path: Optional[str] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.video2labels = {}
+        if label_csv_path:
+            with open(label_csv_path, encoding="utf-8") as f:
+                for row in csv.reader(f):
+                    if len(row) >= 2:
+                        self.video2labels[Path(row[0]).stem] = row[1].split(";")
+
+    def __getitem__(self, idx: int) -> dict:
+        item = super().__getitem__(idx)
+        stem = Path(item["meta"]["filepath"]).stem
+        item["meta"]["labels"] = ";".join(self.video2labels.get(stem, []))
+        return item
+
+
+class AudioSetDataModule(VggSoundDataModule):
+    def setup(self, stage: Optional[str] = None) -> None:
+        for split in ["train", "validation", "test", "predict"]:
+            try:
+                self.datasets[split] = AudioSetDataset(
+                    split=split if split != "predict" else "test",
+                    seed=self.seed,
+                    **self.kwargs,
+                )
+            except AssertionError:
+                if stage is not None and stage.startswith(split):
+                    raise

@@ -1,0 +1,325 @@
+"""VGGSound / VisualSound split-file dataset (family A of the reference's
+data layer; reference ``models/data/vggsound_dataset.py`` /
+``vggsound_datamodule.py``).
+
+Contract per item (matching the reference's output dict,
+``vggsound_dataset.py:274-278``):
+  * ``frames``: [num_clips, C, frames_per_clip, H, W] float32
+  * ``audio``: [1, ceil(video_length * sr_audio)] float32
+  * ``meta``: filepath, target/label, start_pts, clip_indices
+
+Filtering plumbing mirrors the reference: split txt files
+(``{vggsound|visualsound}_{split}.txt``), meta CSV (video id, start, label),
+excluded/included file lists, fixed eval start-points CSV, ImageBind-score
+JSON filtering, in-sync CSV filtering (``vggsound_dataset.py:126-167,
+321-362``). Decoding uses the native libav module; bad media triggers the
+retry-with-random-index policy (``:219-230``).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+from math import ceil, floor
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from vaura_tpu.data.core import DataLoader, DataModule, Dataset
+from vaura_tpu.data.transforms import build_transforms
+from vaura_tpu.data.vjepa import get_clip_indices
+
+logger = logging.getLogger(__name__)
+EPS = 0.01  # reference vggsound_dataset.py:24
+
+
+class VggSoundDataset(Dataset):
+    def __init__(
+        self,
+        split: str,
+        split_dir_path: str | Path,
+        data_path: str | Path,
+        meta_path: str | Path,
+        excluded_files_path: Optional[str | Path] = None,
+        included_files_path: Optional[str | Path] = None,
+        fixed_start_pts_file_path: Optional[str | Path] = None,
+        video_length: float = 2.56,
+        sample_rate_audio: int = 44100,
+        sample_rate_video: float = 25.0,
+        audio_transforms: Optional[list] = None,
+        video_transforms: Optional[list] = None,
+        run_additional_checks: bool = True,
+        original_video_file_len: float = 10.0,
+        frames_per_clip: int = 16,
+        num_clips: int = 4,
+        frame_step: int = 1,
+        partition_audio_to_clips: bool = False,
+        partition_video_to_clips: bool = True,
+        filter_by_imagebind_score: bool = False,
+        imagebind_score_threshold: float = 0.0,
+        imagebind_score_file_path: Optional[str] = None,
+        filter_by_insync: bool = False,
+        insync_filter_key: str = "is_correct",
+        insync_filter_threshold: int = -1,
+        insync_file_path: Optional[str] = None,
+        max_load_attempts: int = 10,
+        seed: int = 0,
+        **_,
+    ):
+        split_dir_path = Path(split_dir_path)
+        self.split = split
+        split_prefix = (
+            "vggsound" if "vggsound" in split_dir_path.name else "visualsound"
+        )
+        self.split_file_path = split_dir_path / f"{split_prefix}_{split}.txt"
+        assert self.split_file_path.is_file(), f"missing {self.split_file_path}"
+        self.data_path = Path(data_path)
+        self.meta_path = Path(meta_path)
+
+        self.fixed_start_pts = {}
+        if fixed_start_pts_file_path is not None:
+            with open(fixed_start_pts_file_path, encoding="utf-8") as f:
+                reader = csv.reader(f)
+                next(reader)
+                self.fixed_start_pts = {row[0]: float(row[1]) for row in reader}
+
+        self.a_sr = sample_rate_audio
+        self.v_sr = sample_rate_video
+        self.video_len = video_length
+        self.video_len_in_samples = ceil(video_length * sample_rate_video)
+        self.audio_len_in_samples = ceil(video_length * sample_rate_audio)
+        self.original_video_file_len = original_video_file_len
+        self.frames_per_clip = frames_per_clip
+        self.frame_step = frame_step
+        self.num_clips = floor(
+            (self.video_len_in_samples / frame_step) / frames_per_clip
+        )
+        self.partition_audio_to_clips = partition_audio_to_clips
+        self.partition_video_to_clips = partition_video_to_clips
+        self.max_load_attempts = max_load_attempts
+        self._rng = np.random.default_rng((seed, hash(split) & 0xFFFF))
+        self.audio_transforms = build_transforms(audio_transforms)
+        self.video_transforms = build_transforms(video_transforms)
+        self.run_additional_checks = run_additional_checks
+
+        # label map from meta CSV (id, start, label)
+        with self.meta_path.open() as f:
+            meta_rows = list(csv.reader(f))[1:]
+        unique = sorted({row[2] for row in meta_rows if len(row) > 2})
+        self.label2target = {label: i for i, label in enumerate(unique)}
+        self.target2label = {i: label for label, i in self.label2target.items()}
+        self.video2target = {
+            row[0]: self.label2target[row[2]] for row in meta_rows if len(row) > 2
+        }
+
+        # split membership
+        with self.split_file_path.open(encoding="utf-8") as f:
+            names = [line.strip() for line in f if line.strip()]
+        files = [self.data_path / Path(n).with_suffix(".mp4").name for n in names]
+
+        files = self._apply_file_filters(
+            files,
+            excluded_files_path,
+            included_files_path,
+            filter_by_imagebind_score,
+            imagebind_score_threshold,
+            imagebind_score_file_path,
+            filter_by_insync,
+            insync_filter_key,
+            insync_filter_threshold,
+            insync_file_path,
+        )
+        self.files = files
+        logger.info("%s split: %d files", split, len(self.files))
+
+    # -------------------------------------------------------------- #
+    def _apply_file_filters(
+        self,
+        files: List[Path],
+        excluded,
+        included,
+        filter_ib,
+        ib_threshold,
+        ib_path,
+        filter_insync,
+        insync_key,
+        insync_threshold,
+        insync_path,
+    ) -> List[Path]:
+        def read_list(p) -> set:
+            p = Path(p)
+            out = set()
+            if p.is_file():
+                with open(p, encoding="utf-8") as f:
+                    out |= {
+                        Path(line.strip()).with_suffix(".mp4").name
+                        for line in f
+                        if line.strip()
+                    }
+            elif p.is_dir():
+                for sub in p.iterdir():
+                    out |= read_list(sub)
+            return out
+
+        if excluded is not None:
+            bad = read_list(excluded)
+            files = [f for f in files if f.name not in bad]
+        if included is not None:
+            good = read_list(included)
+            files = [f for f in files if f.name in good]
+        if filter_ib and ib_path:
+            # ImageBind AV-alignment score filtering
+            # (reference vggsound_dataset.py:142-153,321-327)
+            with open(ib_path) as f:
+                scores = json.load(f)
+            files = [
+                f
+                for f in files
+                if scores.get(f.stem, ib_threshold) >= ib_threshold
+            ]
+        if filter_insync and insync_path:
+            # Synchformer in-sync prediction filtering
+            # (reference vggsound_dataset.py:155-162,329-362)
+            keep = set()
+            with open(insync_path) as f:
+                reader = csv.DictReader(f)
+                for row in reader:
+                    try:
+                        if int(row.get(insync_key, 0)) > insync_threshold:
+                            keep.add(Path(row["vid_id"]).with_suffix(".mp4").name)
+                    except (ValueError, KeyError):
+                        continue
+            files = [f for f in files if f.name in keep]
+        return files
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _start_pts(self, path: Path, duration: float) -> float:
+        if path.name in self.fixed_start_pts:
+            return self.fixed_start_pts[path.name]
+        if self.split != "train":
+            return 0.0
+        hi = max(duration - self.video_len - EPS, 0.0)
+        return float(self._rng.uniform(0, hi))
+
+    def _load_one(self, path: Path):
+        from vaura_tpu.data import media
+
+        info = media.probe(path)
+        start = self._start_pts(path, info["duration"] or self.original_video_file_len)
+        frames, audio, dec = media.read_video(
+            path,
+            start=start,
+            duration=self.video_len + EPS,
+            fps=self.v_sr,
+            sample_rate=self.a_sr,
+        )
+        if frames is None or audio is None:
+            raise RuntimeError(f"missing streams in {path}")
+        if self.run_additional_checks:
+            # FPS/SR contract check (reference vggsound_dataset.py:280-291)
+            assert abs(dec["video_fps"] - self.v_sr) < 1.0, dec
+            assert dec["audio_fps"] == self.a_sr, dec
+        if frames.shape[0] < self.video_len_in_samples:
+            raise RuntimeError(f"short video {path}: {frames.shape}")
+        if audio.shape[-1] < self.audio_len_in_samples:
+            raise RuntimeError(f"short audio {path}: {audio.shape}")
+        frames = frames[: self.video_len_in_samples]
+        audio = audio[:, : self.audio_len_in_samples]
+        return frames, audio.astype(np.float32), start
+
+    def __getitem__(self, idx: int) -> dict:
+        for _ in range(self.max_load_attempts):
+            path = self.files[idx]
+            try:
+                frames, audio, start = self._load_one(path)
+                break
+            except Exception as e:
+                logger.warning("failed to load %s (%s); resampling", path.name, e)
+                idx = int(self._rng.integers(0, len(self)))
+        else:
+            raise RuntimeError(
+                f"no loadable video after {self.max_load_attempts} attempts"
+            )
+
+        if self.audio_transforms is not None:
+            audio = self.audio_transforms(audio)
+        if self.video_transforms is not None:
+            frames = self.video_transforms(frames)
+        else:
+            frames = np.transpose(frames, (3, 0, 1, 2)).astype(np.float32) / 255.0
+
+        meta = {
+            "filepath": str(path),
+            "target": self.video2target.get(path.stem, -1),
+            "start_pts": start,
+            "video_fps": self.v_sr,
+            "audio_fps": self.a_sr,
+        }
+        if self.partition_video_to_clips:
+            from vaura_tpu.data.vjepa import partition_video
+
+            frames = partition_video(
+                frames, self.frames_per_clip, self.frame_step, self.num_clips
+            )
+            meta["clip_indices"] = get_clip_indices(
+                self.num_clips * self.frames_per_clip * self.frame_step,
+                self.num_clips,
+                self.frames_per_clip,
+                self.frame_step,
+            )
+        if self.partition_audio_to_clips:
+            from vaura_tpu.data.vjepa import partition_audio
+
+            audio = partition_audio(
+                audio, self.frames_per_clip, self.frame_step, self.v_sr, self.a_sr,
+                self.num_clips,
+            )
+        return {"frames": frames, "audio": audio, "meta": meta}
+
+
+class VggSoundDataModule(DataModule):
+    """Reference ``vggsound_datamodule.py``: all four splits; predict loader
+    with batch 1."""
+
+    def __init__(self, batch_size: int, num_workers: int = 0, seed: int = 0, **kwargs):
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.seed = seed
+        self.kwargs = kwargs
+        self.datasets = {}
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        for split in ["train", "validation", "test", "predict"]:
+            try:
+                self.datasets[split] = VggSoundDataset(
+                    split=split if split != "predict" else "test",
+                    seed=self.seed,
+                    **self.kwargs,
+                )
+            except AssertionError:
+                if stage is not None and stage.startswith(split):
+                    raise
+
+    def train_dataloader(self) -> DataLoader:
+        return DataLoader(
+            self.datasets["train"], self.batch_size, shuffle=True,
+            seed=self.seed, num_workers=self.num_workers,
+        )
+
+    def val_dataloader(self) -> DataLoader:
+        return DataLoader(
+            self.datasets["validation"], self.batch_size,
+            num_workers=self.num_workers,
+        )
+
+    def test_dataloader(self) -> DataLoader:
+        return DataLoader(
+            self.datasets["test"], self.batch_size, num_workers=self.num_workers
+        )
+
+    def predict_dataloader(self) -> DataLoader:
+        return DataLoader(self.datasets["predict"], 1)

@@ -186,8 +186,13 @@ class Attention(nn.Module):
     """Causal self-attention with fused QKV, RoPE, and an explicit KV cache.
 
     Reference ``llama.py:198-260``; unlike the reference, the cache path is
-    live: ``cache_kv=(k,v)`` holds ``[B, S_max, n_kv, head_dim]`` buffers and
-    new keys/values are written at ``pos`` with a dynamic-slice update.
+    live. TPU-first cache protocol: the layer NEVER writes the cache —
+    in ``decode`` mode it reads the (stale-at-``pos``) cache, attends over
+    cached positions ``< pos`` plus the freshly-computed current K/V, and
+    returns the current position's ``(k, v)`` so the caller can commit one
+    in-place ``dynamic_update_slice`` on the scan carry. This keeps the
+    per-step HBM traffic at one cache *read* + a 1-position write instead
+    of a full-cache rewrite per layer.
     """
 
     config: SamplerConfig
@@ -197,11 +202,11 @@ class Attention(nn.Module):
         self,
         x: jax.Array,  # [B, S, d_model]
         freqs_cis: jax.Array,  # [S, head_dim//2, 2]
-        mask: jax.Array,  # [S, S_kv] bool (True = attend)
-        cache_kv: Optional[Tuple[jax.Array, jax.Array]],
-        pos: jax.Array,  # scalar int32: write offset into the cache
+        mask: Optional[jax.Array],  # [S, S] bool (train/prefill causal mask)
+        cache_kv: Optional[Tuple[jax.Array, jax.Array]],  # decode: [B,S_max,H,hd]
+        pos: jax.Array,  # scalar int32: current position (decode)
         train: bool,
-    ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
         cfg = self.config
         B, S, _ = x.shape
         kv_dim = cfg.n_kv_heads * cfg.head_dim
@@ -221,34 +226,55 @@ class Attention(nn.Module):
         q = apply_rotary_emb(q, freqs_cis)
         k = apply_rotary_emb(k, freqs_cis)
 
+        scale = 1.0 / math.sqrt(cfg.head_dim)
+        rep = cfg.nhead // cfg.n_kv_heads
+
         if cache_kv is not None:
-            ck, cv = cache_kv
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, pos, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, pos, 0, 0))
+            # decode: S == 1. Attend over cache[<pos] + current k/v.
+            ck, cv = cache_kv  # [B, S_max, n_kv, hd]
+            S_max = ck.shape[1]
             keys, values = ck, cv
-            new_cache = (ck, cv)
+            k_cur, v_cur = k, v
+            if rep != 1:
+                keys = jnp.repeat(keys, rep, axis=2)
+                values = jnp.repeat(values, rep, axis=2)
+                k_cur = jnp.repeat(k_cur, rep, axis=2)
+                v_cur = jnp.repeat(v_cur, rep, axis=2)
+            scores_c = jnp.einsum(
+                "bshd,bthd->bhst", q, keys.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [B, H, 1, S_max]
+            valid = (jnp.arange(S_max) < pos)[None, None, None, :]
+            scores_c = jnp.where(valid, scores_c, -1e30)
+            scores_s = jnp.einsum(
+                "bshd,bthd->bhst", q, k_cur, preferred_element_type=jnp.float32
+            ) * scale  # [B, H, 1, 1]
+            scores = jnp.concatenate([scores_c, scores_s], axis=-1)
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum(
+                "bhst,bthd->bshd",
+                probs[..., :S_max].astype(values.dtype),
+                values,
+            ) + jnp.einsum(
+                "bhst,bthd->bshd", probs[..., S_max:].astype(v_cur.dtype), v_cur
+            )
+            out = out.reshape(B, S, cfg.d_model)
         else:
             keys, values = k, v
-            new_cache = None
+            if rep != 1:
+                keys = jnp.repeat(keys, rep, axis=2)
+                values = jnp.repeat(values, rep, axis=2)
+            scores = jnp.einsum(
+                "bshd,bthd->bhst", q, keys, preferred_element_type=jnp.float32
+            ) * scale
+            scores = jnp.where(mask[None, None, :, :], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            if cfg.attn_dropout_p > 0.0 and train:
+                probs = nn.Dropout(cfg.attn_dropout_p, deterministic=False)(probs)
+            out = jnp.einsum(
+                "bhst,bthd->bshd", probs.astype(values.dtype), values
+            ).reshape(B, S, cfg.d_model)
 
-        if cfg.n_kv_heads != cfg.nhead:
-            rep = cfg.nhead // cfg.n_kv_heads
-            keys = jnp.repeat(keys, rep, axis=2)
-            values = jnp.repeat(values, rep, axis=2)
-
-        # [B, H, S, S_kv] scores in float32 for numerical stability
-        scale = 1.0 / math.sqrt(cfg.head_dim)
-        scores = jnp.einsum(
-            "bshd,bthd->bhst", q, keys, preferred_element_type=jnp.float32
-        )
-        scores = scores * scale
-        scores = jnp.where(mask[None, None, :, :], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        if cfg.attn_dropout_p > 0.0 and train:
-            probs = nn.Dropout(cfg.attn_dropout_p, deterministic=False)(probs)
-        out = jnp.einsum(
-            "bhst,bthd->bshd", probs.astype(values.dtype), values
-        ).reshape(B, S, cfg.d_model)
         out = nn.Dense(
             cfg.d_model,
             use_bias=False,
@@ -258,7 +284,7 @@ class Attention(nn.Module):
             name="wo",
         )(out.astype(cfg.dtype))
         out = nn.Dropout(cfg.dropout, deterministic=not train)(out)
-        return out, new_cache
+        return out, (k, v)
 
 
 class TransformerBlock(nn.Module):
@@ -274,14 +300,13 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, broadcast_in, cache_layer):
-        freqs_cis, mask, pos, train = broadcast_in
+        freqs_cis, mask, pos, train, mode = broadcast_in
         cfg = self.config
-        use_cache = cache_layer[0].shape[1] > 0
-        attn_out, new_cache = Attention(cfg, name="attention")(
+        attn_out, (k_new, v_new) = Attention(cfg, name="attention")(
             RMSNorm(cfg.d_model, cfg.layer_norm_eps, name="attention_norm")(x),
             freqs_cis,
             mask,
-            cache_layer if use_cache else None,
+            cache_layer if mode == "decode" else None,
             pos,
             train,
         )
@@ -290,7 +315,13 @@ class TransformerBlock(nn.Module):
             RMSNorm(cfg.d_model, cfg.layer_norm_eps, name="ffn_norm")(h), train
         )
         out = h + self._drop_path(ffn_out, train)
-        return out, (new_cache if use_cache else cache_layer)
+        if mode == "train":
+            # no cache product: zero-size ys keeps nn.scan from stacking
+            # activation-sized K/V during training
+            ys = jnp.zeros((x.shape[0], 0), dtype=x.dtype)
+        else:
+            ys = (k_new, v_new)
+        return out, ys
 
     def _drop_path(self, x: jax.Array, train: bool) -> jax.Array:
         # stochastic depth (reference utils/drop_path.py); default rate 0
@@ -494,19 +525,19 @@ class Sampler(nn.Module):
             )
         )
 
-    def _run_blocks(self, h, freqs_cis, mask, cache, pos, train):
+    def _run_blocks(self, h, freqs_cis, mask, cache, pos, train, mode):
+        """mode: 'train' (no cache product), 'prefill' (ys = full K/V per
+        layer, stacked into the cache by the caller), or 'decode' (cache is
+        read-only xs; ys = current-position K/V per layer)."""
         cfg = self.config
         if cache is None:
-            # zero-length cache statically disables the cache path in-scan
             empty = jnp.zeros(
                 (cfg.num_layers, h.shape[0], 0, cfg.n_kv_heads, cfg.head_dim),
                 dtype=cfg.dtype,
             )
             cache = (empty, empty)
-            h, _ = self.layers(h, (freqs_cis, mask, pos, train), cache)
-            return h, None
-        h, new_cache = self.layers(h, (freqs_cis, mask, pos, train), cache)
-        return h, new_cache
+        h, ys = self.layers(h, (freqs_cis, mask, pos, train, mode), cache)
+        return h, ys
 
     def _logits(self, h: jax.Array) -> jax.Array:
         cfg = self.config
@@ -553,7 +584,9 @@ class Sampler(nn.Module):
         h = self.tok_dropout(h, deterministic=not train)
         freqs_cis = self._freqs()[:S]
         mask = jnp.tril(jnp.ones((S, S), dtype=bool))
-        h, _ = self._run_blocks(h, freqs_cis, mask, None, jnp.int32(0), train)
+        h, _ = self._run_blocks(
+            h, freqs_cis, mask, None, jnp.int32(0), train, "train"
+        )
         return self._logits(h)
 
     def init_cache(self, batch: int, max_seq: int, dtype=None) -> Dict[str, jax.Array]:
@@ -566,10 +599,9 @@ class Sampler(nn.Module):
         self,
         tokens: jax.Array,  # [B, K, S_max] (padded; garbage beyond valid_len is fine)
         cond_seq: jax.Array,  # [B, S_max, cond_dim] prebuilt per-position stream
-        cache: Dict[str, jax.Array],
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        """Causal forward over the padded prompt writing all K/V into the
-        cache. Returns logits ``[B, K, S_max, vocab]`` and the new cache.
+        """Causal forward over the padded prompt producing all K/V as a
+        fresh cache. Returns logits ``[B, K, S_max, vocab]`` and the cache.
         Decode steps mask by position, so positions beyond the prompt's
         valid length holding garbage K/V are never attended."""
         cfg = self.config
@@ -578,10 +610,14 @@ class Sampler(nn.Module):
         h = jnp.concatenate([cond_seq.astype(tok_emb.dtype), tok_emb], axis=-1)
         freqs_cis = self._freqs()[:S]
         mask = jnp.tril(jnp.ones((S, S), dtype=bool))
-        h, new_cache = self._run_blocks(
-            h, freqs_cis, mask, (cache["k"], cache["v"]), jnp.int32(0), False
+        h, ys = self._run_blocks(
+            h, freqs_cis, mask, None, jnp.int32(0), False, "prefill"
         )
-        return self._logits(h), {"k": new_cache[0], "v": new_cache[1]}
+        k_full, v_full = ys  # [L, B, S, n_kv, hd]
+        return self._logits(h), {
+            "k": k_full.astype(cfg.dtype),
+            "v": v_full.astype(cfg.dtype),
+        }
 
     def decode_step(
         self,
@@ -591,18 +627,27 @@ class Sampler(nn.Module):
         pos: jax.Array,  # scalar int32
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """One decode step: returns next-token logits ``[B, K, vocab]`` and
-        the updated cache."""
+        the updated cache. The cache flows through the layer scan read-only;
+        the single-position commit happens here so the surrounding
+        ``lax.scan`` can alias the buffers in place."""
         cfg = self.config
         B = tokens_t.shape[0]
-        S_max = cache["k"].shape[2]
         tok_emb = self.tok_embeddings(tokens_t)  # [B, 1, token_dim]
         h = jnp.concatenate([cond_t.astype(tok_emb.dtype), tok_emb], axis=-1)
         freqs_cis = jax.lax.dynamic_slice(
             self._freqs(), (pos, 0, 0), (1, cfg.head_dim // 2, 2)
         )
-        mask = (jnp.arange(S_max) <= pos)[None, :]  # [1, S_max]
-        h, new_cache = self._run_blocks(
-            h, freqs_cis, mask, (cache["k"], cache["v"]), pos, False
+        h, ys = self._run_blocks(
+            h, freqs_cis, None, (cache["k"], cache["v"]), pos, False, "decode"
         )
+        k_cur, v_cur = ys  # [L, B, 1, n_kv, hd]
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], k_cur.astype(cache["k"].dtype), (0, 0, pos, 0, 0)
+            ),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], v_cur.astype(cache["v"].dtype), (0, 0, pos, 0, 0)
+            ),
+        }
         logits = self._logits(h)  # [B, K, 1, vocab]
-        return logits[:, :, 0, :], {"k": new_cache[0], "v": new_cache[1]}
+        return logits[:, :, 0, :], new_cache
