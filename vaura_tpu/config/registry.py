@@ -114,6 +114,63 @@ def _register_builtin_aliases() -> None:
     )
     register_alias("vaura_tpu.models.motionformer.MotionFormerSpec", _mf.MotionFormerSpec)
 
+    # transforms: torchvision / reference names -> numpy equivalents
+    from vaura_tpu.data import transforms as _t
+
+    tv = "torchvision.transforms.v2"
+    for name, obj in (
+        (f"{tv}.Resize", _t.Resize),
+        (f"{tv}.CenterCrop", _t.CenterCrop),
+        (f"{tv}.RandomCrop", _t.RandomCrop),
+        (f"{tv}.RandomHorizontalFlip", _t.RandomHorizontalFlip),
+        (f"{tv}.Normalize", _t.Normalize),
+        (f"{tv}.UniformTemporalSubsample", _t.UniformTemporalSubsample),
+        ("torchvision.transforms.Resize", _t.Resize),
+        ("torchvision.transforms.CenterCrop", _t.CenterCrop),
+        ("models.data.transforms.video_transforms.ToFloat32DType", _t.ToFloat32DType),
+        ("models.data.transforms.video_transforms.RandomNullify", _t.RandomNullify),
+        ("models.data.transforms.video_transforms.Permute", _t.Permute),
+        (
+            "models.data.transforms.video_transforms.UniformTemporalSubsample",
+            _t.UniformTemporalSubsample,
+        ),
+        (
+            "models.data.transforms.video_transforms.GenerateMultipleSegments",
+            _t.GenerateMultipleSegments,
+        ),
+    ):
+        register_alias(name, obj)
+    for name in (
+        "AudioRandomVolume",
+        "AudioLowpassFilter",
+        "AudioPitchShift",
+        "AudioReverb",
+        "AudioGaussNoise",
+        "AudioPhaser",
+        "AudioStandardNormalize",
+        "AudioLoudnessNormalize",
+        "AudioStereoToMono",
+        "AudioResample",
+        "AudioTrim",
+        "AudioUnsqueeze",
+    ):
+        obj = getattr(_t, name)
+        register_alias(f"models.data.transforms.audio_transforms.{name}", obj)
+        register_alias(f"vaura_tpu.data.transforms.{name}", obj)
+    for name in (
+        "Resize",
+        "CenterCrop",
+        "RandomCrop",
+        "RandomHorizontalFlip",
+        "Normalize",
+        "ToFloat32DType",
+        "RandomNullify",
+        "Permute",
+        "UniformTemporalSubsample",
+        "GenerateMultipleSegments",
+    ):
+        register_alias(f"vaura_tpu.data.transforms.{name}", getattr(_t, name))
+
 
 _aliases_done = False
 

@@ -30,14 +30,4 @@ class AudioSetDataset(VggSoundDataset):
 
 
 class AudioSetDataModule(VggSoundDataModule):
-    def setup(self, stage: Optional[str] = None) -> None:
-        for split in ["train", "validation", "test", "predict"]:
-            try:
-                self.datasets[split] = AudioSetDataset(
-                    split=split if split != "predict" else "test",
-                    seed=self.seed,
-                    **self.kwargs,
-                )
-            except AssertionError:
-                if stage is not None and stage.startswith(split):
-                    raise
+    dataset_cls = AudioSetDataset

@@ -13,7 +13,7 @@ from typing import Optional
 import numpy as np
 
 from vaura_tpu.data.core import DataLoader, DataModule
-from vaura_tpu.data.vggsound import EPS, VggSoundDataset
+from vaura_tpu.data.vggsound import EPS, VggSoundDataModule, VggSoundDataset
 
 logger = logging.getLogger(__name__)
 
@@ -52,42 +52,5 @@ class GreatestHitDataset(VggSoundDataset):
         return item
 
 
-class GreatestHitDataModule(DataModule):
-    def __init__(self, batch_size: int, num_workers: int = 0, seed: int = 0, **kwargs):
-        self.batch_size = batch_size
-        self.num_workers = num_workers
-        self.seed = seed
-        self.kwargs = kwargs
-        self.datasets = {}
-
-    def setup(self, stage: Optional[str] = None) -> None:
-        for split in ["train", "validation", "test", "predict"]:
-            try:
-                self.datasets[split] = GreatestHitDataset(
-                    split=split if split != "predict" else "test",
-                    seed=self.seed,
-                    **self.kwargs,
-                )
-            except AssertionError:
-                if stage is not None and stage.startswith(split):
-                    raise
-
-    def train_dataloader(self) -> DataLoader:
-        return DataLoader(
-            self.datasets["train"], self.batch_size, shuffle=True,
-            seed=self.seed, num_workers=self.num_workers,
-        )
-
-    def val_dataloader(self) -> DataLoader:
-        return DataLoader(
-            self.datasets["validation"], self.batch_size,
-            num_workers=self.num_workers,
-        )
-
-    def test_dataloader(self) -> DataLoader:
-        return DataLoader(
-            self.datasets["test"], self.batch_size, num_workers=self.num_workers
-        )
-
-    def predict_dataloader(self) -> DataLoader:
-        return DataLoader(self.datasets["predict"], 1)
+class GreatestHitDataModule(VggSoundDataModule):
+    dataset_cls = GreatestHitDataset

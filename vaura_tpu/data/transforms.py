@@ -396,3 +396,33 @@ class AudioPhaser:
             aa = [1.0, -a]
             out = _signal.lfilter(b, aa, out, axis=-1).astype(np.float32)
         return (0.5 * wav + 0.5 * out).astype(np.float32)
+
+
+class RandomCrop:
+    def __init__(self, size, channels_last: bool = True):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+        self.channels_last = channels_last
+
+    def __call__(self, x):
+        x = np.asarray(x)
+        th, tw = self.size
+        if self.channels_last:
+            H, W = x.shape[1], x.shape[2]
+        else:
+            H, W = x.shape[2], x.shape[3]
+        y0 = random.randint(0, max(H - th, 0))
+        x0 = random.randint(0, max(W - tw, 0))
+        if self.channels_last:
+            return x[:, y0 : y0 + th, x0 : x0 + tw]
+        return x[:, :, y0 : y0 + th, x0 : x0 + tw]
+
+
+class RandomHorizontalFlip:
+    def __init__(self, p: float = 0.5, channels_last: bool = True):
+        self.p = p
+        self.channels_last = channels_last
+
+    def __call__(self, x):
+        if random.random() < self.p:
+            return np.flip(x, axis=-2 if self.channels_last else -1).copy()
+        return x

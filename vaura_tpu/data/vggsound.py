@@ -249,6 +249,9 @@ class VggSoundDataset(Dataset):
             audio = self.audio_transforms(audio)
         if self.video_transforms is not None:
             frames = self.video_transforms(frames)
+            if frames.shape[-1] == 3:  # transforms left channels-last
+                frames = np.transpose(frames, (3, 0, 1, 2))
+            frames = np.ascontiguousarray(frames, dtype=np.float32)
         else:
             frames = np.transpose(frames, (3, 0, 1, 2)).astype(np.float32) / 255.0
 
@@ -282,26 +285,69 @@ class VggSoundDataset(Dataset):
 
 
 class VggSoundDataModule(DataModule):
-    """Reference ``vggsound_datamodule.py``: all four splits; predict loader
-    with batch 1."""
+    """Reference ``vggsound_datamodule.py``: all four splits, per-split
+    transform stacks, predict loader with batch 1. Accepts the reference's
+    config parameter names (``data_dir``/``split_dir``/``meta_file``/...)."""
 
-    def __init__(self, batch_size: int, num_workers: int = 0, seed: int = 0, **kwargs):
+    dataset_cls = VggSoundDataset
+
+    def __init__(
+        self,
+        batch_size: int,
+        num_workers: int = 0,
+        seed: int = 0,
+        data_dir: Optional[str] = None,
+        split_dir: Optional[str] = None,
+        meta_file: Optional[str] = None,
+        excluded_files: Optional[str] = None,
+        included_files: Optional[str] = None,
+        fixed_start_pts_file: Optional[str] = None,
+        audio_transforms_train: Optional[list] = None,
+        audio_transforms_test: Optional[list] = None,
+        video_transforms_train: Optional[list] = None,
+        video_transforms_test: Optional[list] = None,
+        video_length: float = 2.56,
+        **kwargs,
+    ):
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.seed = seed
+        self.paths = dict(
+            data_path=data_dir,
+            split_dir_path=split_dir,
+            meta_path=meta_file,
+            excluded_files_path=excluded_files,
+            included_files_path=included_files,
+            fixed_start_pts_file_path=fixed_start_pts_file,
+        )
+        self.transforms = {
+            "train": (audio_transforms_train, video_transforms_train),
+            "eval": (audio_transforms_test, video_transforms_test),
+        }
+        self.video_length = video_length
+        # drop torch-dataloader-only knobs
+        kwargs.pop("pin_memory", None)
+        kwargs.pop("samples_per_video", None)
+        kwargs.pop("dataset_to_use", None)
+        kwargs.pop("rand_transform_prob", None)
         self.kwargs = kwargs
         self.datasets = {}
 
     def setup(self, stage: Optional[str] = None) -> None:
         for split in ["train", "validation", "test", "predict"]:
+            a_tf, v_tf = self.transforms["train" if split == "train" else "eval"]
             try:
-                self.datasets[split] = VggSoundDataset(
+                self.datasets[split] = self.dataset_cls(
                     split=split if split != "predict" else "test",
                     seed=self.seed,
+                    video_length=self.video_length,
+                    audio_transforms=a_tf,
+                    video_transforms=v_tf,
+                    **self.paths,
                     **self.kwargs,
                 )
-            except AssertionError:
-                if stage is not None and stage.startswith(split):
+            except (AssertionError, TypeError) as e:
+                if stage is not None and str(stage).startswith(split):
                     raise
 
     def train_dataloader(self) -> DataLoader:
