@@ -1,0 +1,177 @@
+"""Demo: the reference ``demo.ipynb`` path as a script.
+
+Loads (or synthesizes) a demo video, extracts MotionFormer features,
+generates 2.56 s of audio with the KV-cache sampler (single chunk), then a
+longer clip via chunked striding, and muxes the generated audio back onto
+the video (reference demo cells 3-8).
+
+Without a converted checkpoint the model runs with random weights — the
+pipeline is exercised end-to-end either way. Point ``--ckpt`` at a tree
+produced by ``scripts/convert_checkpoints.py vaura`` for real audio.
+
+Usage::
+
+    python demo.py [--video data/demo/clip.mp4] [--ckpt converted/]
+                   [--duration 2.56] [--out demo_out/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("demo")
+
+
+def synthesize_demo_video(path: Path, seconds: float = 4.0, fps: float = 25.0) -> None:
+    """A moving test pattern with click audio — stands in for the bundled
+    demo MP4s (which we cannot download in this environment)."""
+    from vaura_tpu.data import media
+
+    n = int(seconds * fps)
+    h = w = 256
+    t = np.arange(n)[:, None, None]
+    y = np.arange(h)[None, :, None]
+    x = np.arange(w)[None, None, :]
+    r = ((x + t * 6) % 256).astype(np.uint8)
+    g = ((y + t * 3) % 256).astype(np.uint8)
+    b = ((x + y) % 256).astype(np.uint8)
+    frames = np.stack(
+        [np.broadcast_to(c, (n, h, w)) for c in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+    sr = 44100
+    audio = np.zeros(int(seconds * sr), np.float32)
+    for k in range(int(seconds * 4)):  # 4 clicks/s
+        i = int(k * sr / 4)
+        audio[i : i + 200] = 0.8 * np.hanning(200)
+    media.write_video(path, frames, fps=fps, audio=audio, audio_sample_rate=sr)
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--video", type=Path, default=None)
+    ap.add_argument("--ckpt", type=Path, default=None,
+                    help="orbax tree from scripts/convert_checkpoints.py")
+    ap.add_argument("--duration", type=float, default=2.56)
+    ap.add_argument("--long-duration", type=float, default=0.0,
+                    help="if > model max (2.56), also run chunked generation")
+    ap.add_argument("--out", type=Path, default=Path("demo_out"))
+    ap.add_argument("--cfg-scale", type=float, default=6.0)
+    ap.add_argument("--temperature", type=float, default=0.95)
+    ap.add_argument("--top-k", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vaura_tpu.config import load_config
+    from vaura_tpu.data import media
+    from vaura_tpu.models.factory import build_system
+    from vaura_tpu.ops.audio import write_wav
+    from vaura_tpu.utils import cast_floats
+    from vaura_tpu.utils.seeding import seed_everything
+
+    args.out.mkdir(parents=True, exist_ok=True)
+    video = args.video
+    if video is None:
+        video = args.out / "demo_input.mp4"
+        if not video.exists():
+            logger.info("synthesizing demo video at %s", video)
+            synthesize_demo_video(video)
+
+    # build the flagship system from the default module configs
+    repo = Path(__file__).parent
+    model_cfg = {
+        "sampler_config": load_config(repo / "configs/modules/samplers/llama_9cbs.yaml"),
+        "audio_encoder_config": load_config(
+            repo / "configs/modules/audio_codecs/dac_8kbps_wrapper.yaml"
+        ),
+        "feature_extractor_config": load_config(
+            repo / "configs/modules/feature_extractors/avclip_vggsound.yaml"
+        ),
+        "pattern_provider_config": load_config(
+            repo / "configs/modules/codebook_patterns/delayed_9cbs.yaml"
+        ),
+        "freeze_feature_extractor": True,
+    }
+    system = build_system(model_cfg)
+    rng = seed_everything(666)
+    rng, init_rng = jax.random.split(rng)
+    logger.info("initializing parameters...")
+    params = system.init_params(init_rng)
+    params = system.load_dac_embeddings_into_sampler(params)
+    if args.ckpt is not None:
+        import orbax.checkpoint as ocp
+        from vaura_tpu.train.checkpoint import abstract_like
+
+        ckptr = ocp.StandardCheckpointer()
+        loaded = ckptr.restore(Path(args.ckpt).resolve(), abstract_like(params))
+        params.update({k: v for k, v in loaded.items() if v is not None})
+        logger.info("loaded converted checkpoint from %s", args.ckpt)
+    else:
+        logger.warning("no checkpoint: generating with random weights")
+    params = cast_floats(params, jnp.bfloat16)
+
+    # read frames at the model contract: 25 fps, 224x224 center crop
+    frames, _, info = media.read_video(
+        video, duration=max(args.duration, args.long_duration) + 0.66,
+        fps=25.0, min_side=256,
+    )
+    H, W = frames.shape[1:3]
+    y0, x0 = (H - 224) // 2, (W - 224) // 2
+    frames = frames[:, y0 : y0 + 224, x0 : x0 + 224]
+    frames = (frames.astype(np.float32) / 255.0 - 0.5) / 0.5
+    n_seg = frames.shape[0] // 16
+    frames = frames[: n_seg * 16].reshape(n_seg, 16, 224, 224, 3)
+    frames = np.transpose(frames, (0, 4, 1, 2, 3))[None]  # [1, S, C, T, H, W]
+    logger.info("video -> %s segments", n_seg)
+
+    sampling = dict(
+        temp=args.temperature, top_k=args.top_k, cfg_scale=args.cfg_scale
+    )
+    tokens = int(args.duration * 86)
+    seg_for_chunk = max(int(np.ceil(args.duration / 0.64)), 1)
+    rng, gen_rng = jax.random.split(rng)
+    logger.info("single-chunk generation: %d tokens...", tokens)
+    out = system.generate(
+        params,
+        jnp.asarray(frames[:, :seg_for_chunk]),
+        gen_rng,
+        max_new_tokens=tokens,
+        tokens_per_frame=7,
+        **sampling,
+    )
+    audio = np.clip(np.asarray(out["audio"], np.float32), -1, 1)
+    write_wav(args.out / "generated.wav", audio[0], 44100)
+    media.write_video(
+        args.out / "generated.mp4",
+        ((frames[0, :seg_for_chunk].transpose(0, 2, 3, 4, 1).reshape(-1, 224, 224, 3)) * 0.5 + 0.5),
+        fps=25.0,
+        audio=audio[0, 0],
+        audio_sample_rate=44100,
+    )
+    logger.info("wrote %s", args.out / "generated.mp4")
+
+    if args.long_duration > 2.56:
+        total = int(args.long_duration * 86)
+        rng, gen_rng = jax.random.split(rng)
+        logger.info("chunked generation: %d tokens...", total)
+        out = system.generate_long(
+            params,
+            jnp.asarray(frames),
+            gen_rng,
+            total_tokens=total,
+            stride_tokens=int(0.64 * 86),
+            **sampling,
+        )
+        audio = np.clip(np.asarray(out["audio"], np.float32), -1, 1)
+        write_wav(args.out / "generated_long.wav", audio[0], 44100)
+        logger.info("wrote %s", args.out / "generated_long.wav")
+
+
+if __name__ == "__main__":
+    main()
