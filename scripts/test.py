@@ -40,7 +40,7 @@ def test(cfg: dict) -> dict:
     )
     datamodule.setup("test")
 
-    system = build_system(model_cfg)
+    system = build_system(model_cfg, precision=trainer_cfg.get("precision"))
     rng = seed_everything(int(trainer_cfg.get("seed", 666)))
     rng, init_rng = jax.random.split(rng)
     params = system.init_params(init_rng)

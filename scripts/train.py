@@ -31,13 +31,14 @@ def train(cfg: dict) -> dict:
     )
     datamodule.setup()
 
-    system = build_system(model_cfg)
+    system = build_system(model_cfg, precision=trainer_cfg.get("precision"))
     rng = seed_everything(int(trainer_cfg.get("seed", 666)))
     rng, init_rng = jax.random.split(rng)
     params = system.init_params(init_rng)
+    from vaura_tpu.models.factory import maybe_load_pretrained
+
+    params = maybe_load_pretrained(params, model_cfg)
     params = system.load_dac_embeddings_into_sampler(params)
-    # TODO(ckpt): load pretrained DAC / AVCLIP weights when paths are given
-    # (scripts/convert_checkpoints.py produces the converted trees)
 
     mesh = None
     mesh_cfg = trainer_cfg.get("mesh") or {}

@@ -174,3 +174,28 @@ def test_generate_greedy_deterministic(system):
         sys.generate(params, frames, jax.random.PRNGKey(99), **kw)["codes"]
     )
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_generate_long_chunked(system):
+    """Chunked long-duration generation (reference generate.py:327-370):
+    total = 2 chunks with prompt carry-over; output covers total_tokens and
+    stays in the valid code range."""
+    sys_, params = system
+    frames = _batch(B=1)["frames"]  # [1, 2, 3, 4, 16, 16] -> 2 segments
+    out = sys_.generate_long(
+        params,
+        frames,
+        jax.random.PRNGKey(5),
+        total_tokens=16,
+        stride_tokens=8,
+        model_max_tokens=12,
+        vfps=6.25,  # 4 frames per 0.64s segment at this test scale
+        frames_per_segment=4,
+        tokens_per_frame=7,
+        top_k=4,
+        decode_to_audio=True,
+    )
+    codes = np.asarray(out["codes"])
+    assert codes.shape == (1, 3, 16)
+    assert (codes >= 0).all() and (codes <= SAMPLER_TINY.d_codebook).all()
+    assert out["audio"].shape == (1, 1, 16 * DAC_TINY.hop_length)

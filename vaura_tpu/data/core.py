@@ -42,7 +42,9 @@ def default_collate(items: List[dict]) -> dict:
         vals = [it[key] for it in items]
         if isinstance(value, dict):
             out[key] = default_collate(vals)
-        elif isinstance(value, np.ndarray) or np.isscalar(value):
+        elif isinstance(value, np.ndarray) or (
+            np.isscalar(value) and not isinstance(value, (str, bytes))
+        ):
             out[key] = np.stack([np.asarray(v) for v in vals])
         else:
             out[key] = vals

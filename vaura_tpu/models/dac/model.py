@@ -230,16 +230,25 @@ class Dac(nn.Module):
         return self.decode(self.encode(wav))
 
 
-@dataclasses.dataclass
-class DacSpec:
+def DacSpec(model_sr: int = 44100, ckpt_path: Optional[str] = None, **overrides):
     """Config shim for ``{target, params}`` instantiation, accepting the
-    reference wrapper's parameters (``model_sr``, ``ckpt_path``)."""
+    reference wrapper's parameters (``model_sr``, ``ckpt_path``) plus
+    optional ``DacConfig`` field overrides (used by tiny test/smoke
+    configs). Returns an object with ``.config`` and ``.ckpt_path``."""
+    base = config_for_sample_rate(model_sr)
+    if overrides:
+        valid = {f.name for f in dataclasses.fields(DacConfig)}
+        unknown = set(overrides) - valid
+        if unknown:
+            raise TypeError(f"Unknown DAC config keys: {sorted(unknown)}")
+        for key in ("encoder_rates", "decoder_rates"):
+            if key in overrides:
+                overrides[key] = tuple(overrides[key])
+        base = dataclasses.replace(base, **overrides)
 
-    model_sr: int = 44100
-    ckpt_path: Optional[str] = None
+    class _Spec:
+        config = base
 
-    def __post_init__(self):
-        self.config = config_for_sample_rate(self.model_sr)
-
-    def build(self) -> Dac:
-        return self.config.build()
+    spec = _Spec()
+    spec.ckpt_path = ckpt_path
+    return spec

@@ -139,6 +139,23 @@ class VauraSystem:
         cfg = self.sampler_config
         q = params["dac"]["quantizer"]
         K, V, cd = cfg.num_codebooks, cfg.d_codebook, cfg.codebook_dim
+        dac_cfg = self.dac_config
+        if (
+            dac_cfg.codebook_dim != cd
+            or dac_cfg.codebook_size != V
+            or dac_cfg.n_codebooks < K
+            or dac_cfg.resolved_latent_dim != cfg.token_dim
+        ):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sampler embedding geometry (%d x %d -> %d) does not match "
+                "the DAC quantizer (%d x %d -> %d); keeping random init",
+                V, cd, cfg.token_dim,
+                dac_cfg.codebook_size, dac_cfg.codebook_dim,
+                dac_cfg.resolved_latent_dim,
+            )
+            return params
         codebooks = np.asarray(q["codebooks"])[:K]  # [K, V, cd]
         rng = np.random.default_rng(0)
         special_rows = (

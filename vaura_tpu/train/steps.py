@@ -84,7 +84,7 @@ def batch_to_device(batch: dict, sharding=None) -> dict:
     import numpy as np
 
     def put(x):
-        if isinstance(x, np.ndarray) and x.dtype != object:
+        if isinstance(x, np.ndarray) and np.issubdtype(x.dtype, np.number):
             return jax.device_put(x, sharding) if sharding is not None else jnp.asarray(x)
         return x
 
