@@ -50,6 +50,7 @@ def make_train_step(
     (state, metrics)``; jit-compiled, donating the state buffers."""
 
     def train_step(state: TrainState, frozen: Dict[str, Any], batch, rng):
+        batch = array_batch(batch)
         def loss_fn(trainable):
             params = {**frozen, **trainable}
             loss, aux = system.train_forward(
@@ -64,7 +65,10 @@ def make_train_step(
         metrics = {"loss": loss, "loss_per_codebook": per_cb}
         return state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return lambda state, frozen, batch, rng: jitted(
+        state, frozen, array_batch(batch), rng
+    )
 
 
 def make_eval_step(system: VauraSystem) -> Callable:
@@ -75,7 +79,16 @@ def make_eval_step(system: VauraSystem) -> Callable:
         )
         return {"loss": loss, "loss_per_codebook": aux["loss_per_codebook"]}
 
-    return jax.jit(eval_step)
+    jitted = jax.jit(eval_step)
+    return lambda trainable, frozen, batch, rng: jitted(
+        trainable, frozen, array_batch(batch), rng
+    )
+
+
+def array_batch(batch: dict) -> dict:
+    """Keep only the jit-compatible array leaves the step functions consume
+    (meta strings/lists never cross the jit boundary)."""
+    return {k: batch[k] for k in ("frames", "audio") if k in batch}
 
 
 def batch_to_device(batch: dict, sharding=None) -> dict:
