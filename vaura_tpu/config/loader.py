@@ -22,6 +22,15 @@ import yaml
 MANDATORY = "???"
 
 _INTERP_RE = re.compile(r"\$\{([^${}]+)\}")
+# YAML 1.1 parses "1e-6" (no dot) as a string; treat such scientific
+# notation as the float the user obviously meant (OmegaConf does the same).
+_SCI_FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _numericize(value: Any) -> Any:
+    if isinstance(value, str) and _SCI_FLOAT_RE.match(value.strip()):
+        return float(value)
+    return value
 
 
 class MissingMandatoryValue(ValueError):
@@ -120,7 +129,7 @@ class _Resolver:
         if isinstance(node, list):
             return [self.resolve(v) for v in node]
         if isinstance(node, str):
-            return self._resolve_str(node)
+            return _numericize(self._resolve_str(node))
         return node
 
     @staticmethod

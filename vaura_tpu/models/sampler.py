@@ -269,6 +269,7 @@ class Attention(nn.Module):
             ) * scale
             scores = jnp.where(mask[None, None, :, :], scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1)
+            self.sow("intermediates", "attn_probs", jnp.mean(probs, axis=1))
             if cfg.attn_dropout_p > 0.0 and train:
                 probs = nn.Dropout(cfg.attn_dropout_p, deterministic=False)(probs)
             out = jnp.einsum(
@@ -416,12 +417,23 @@ class AVCLIPEmbedder(nn.Module):
             (cfg.cond_token_num, cfg.cond_in_dim),
         )
 
+    def _uncond_rows(self, n_tokens: int) -> jax.Array:
+        """First ``n_tokens`` rows of the uncond embedding, tiled
+        cyclically when the conditioning is longer than ``cond_token_num``
+        (the reference's buffer is sized exactly for its 32-token setup,
+        ``llama.py:113-117``; tiling generalizes it)."""
+        u = self.uncond_embedding
+        if n_tokens > u.shape[0]:
+            reps = -(-n_tokens // u.shape[0])
+            u = jnp.tile(u, (reps, 1))
+        return u[:n_tokens]
+
     def token_drop(self, feats: jax.Array, rng: jax.Array) -> jax.Array:
         """Replace whole samples with the uncond embedding w.p.
         ``class_dropout_prob`` (reference ``llama.py:125-134``)."""
         drop = jax.random.uniform(rng, (feats.shape[0],)) < self.config.class_dropout_prob
         uncond = jnp.broadcast_to(
-            self.uncond_embedding.astype(feats.dtype)[: feats.shape[1]], feats.shape
+            self._uncond_rows(feats.shape[1]).astype(feats.dtype), feats.shape
         )
         return jnp.where(drop[:, None, None], uncond, feats)
 
@@ -438,7 +450,7 @@ class AVCLIPEmbedder(nn.Module):
     def uncond(self, batch: int, n_tokens: int) -> jax.Array:
         """The projected null condition for CFG inference
         (reference ``vaura_model.py:790-794``)."""
-        uncond = self.uncond_embedding[None, :n_tokens].astype(self.config.dtype)
+        uncond = self._uncond_rows(n_tokens)[None].astype(self.config.dtype)
         uncond = jnp.broadcast_to(
             uncond, (batch, n_tokens, self.config.cond_in_dim)
         )
@@ -625,11 +637,17 @@ class Sampler(nn.Module):
         cond_t: jax.Array,  # [B, 1, cond_dim] conditioning at position `pos`
         cache: Dict[str, jax.Array],
         pos: jax.Array,  # scalar int32
+        key_len: Optional[int] = None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """One decode step: returns next-token logits ``[B, K, vocab]`` and
         the updated cache. The cache flows through the layer scan read-only;
         the single-position commit happens here so the surrounding
-        ``lax.scan`` can alias the buffers in place."""
+        ``lax.scan`` can alias the buffers in place.
+
+        ``key_len`` (static) bounds the attended cache prefix — the
+        bucketed-decode optimization: steps known to have ``pos < key_len``
+        read only ``key_len`` cache positions instead of the full buffer,
+        cutting HBM traffic for early steps."""
         cfg = self.config
         B = tokens_t.shape[0]
         tok_emb = self.tok_embeddings(tokens_t)  # [B, 1, token_dim]
@@ -637,8 +655,12 @@ class Sampler(nn.Module):
         freqs_cis = jax.lax.dynamic_slice(
             self._freqs(), (pos, 0, 0), (1, cfg.head_dim // 2, 2)
         )
+        ck, cv = cache["k"], cache["v"]
+        if key_len is not None and key_len < ck.shape[2]:
+            ck = ck[:, :, :key_len]
+            cv = cv[:, :, :key_len]
         h, ys = self._run_blocks(
-            h, freqs_cis, None, (cache["k"], cache["v"]), pos, False, "decode"
+            h, freqs_cis, None, (ck, cv), pos, False, "decode"
         )
         k_cur, v_cur = ys  # [L, B, 1, n_kv, hd]
         new_cache = {

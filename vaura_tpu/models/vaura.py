@@ -300,6 +300,7 @@ class VauraSystem:
         top_k: int = 256,
         top_p: float = 0.0,
         cfg_scale: float = 1.0,
+        key_len: Optional[int] = None,
     ):
         """Returns the scan body for the unified prompt-ingest/decode loop.
 
@@ -308,6 +309,9 @@ class VauraSystem:
         slots to the special token, and write into the sequence only where
         it is still UNKNOWN (prompt tokens win) — the same invariants as
         reference ``vaura_model.py:502-547`` but cache-incremental.
+
+        ``key_len`` statically bounds the attended cache prefix (bucketed
+        decode); callers must only run steps with ``s <= key_len``.
         """
         sampler = self.sampler
         special = self.special_token_id
@@ -331,6 +335,7 @@ class VauraSystem:
                 cond_t,
                 cache,
                 s - 1,
+                key_len,
                 method=sampler.decode_step,
             )  # [(2)B, K, card]
             if use_cfg:
@@ -372,31 +377,48 @@ class VauraSystem:
         top_p: float = 0.0,
         cfg_scale: float = 1.0,
         cache_dtype=None,
+        decode_buckets: int = 4,
     ) -> jax.Array:
         """Run the generation scan; returns the completed ``[B, K, S]``
-        sequence. ``start_step`` is static; steps scan from there to S."""
-        step = self.build_generation_step(
-            S=S,
-            valid_mask=valid_mask,
-            use_sampling=use_sampling,
-            temp=temp,
-            top_k=top_k,
-            top_p=top_p,
-            cfg_scale=cfg_scale,
-        )
+        sequence. ``start_step`` is static; steps scan from there to S.
+
+        ``decode_buckets`` splits the step range into segments with static
+        attended-key lengths (S/n, 2S/n, ..., S): early steps read only a
+        prefix of the cache, cutting average cache HBM traffic ~(n+1)/2n.
+        """
         B = gen_seq_init.shape[0]
         cache_batch = cond_seq.shape[0]
         cache = self.sampler.init_cache(
             cache_batch, S, dtype=cache_dtype or self.sampler_config.dtype
         )
 
-        def body(carry, s):
-            return step(params["sampler"], carry, s)
-
-        steps = jnp.arange(start_step, S, dtype=jnp.int32)
-        (cache, gen_seq, _, _), _ = jax.lax.scan(
-            body, (cache, gen_seq_init, cond_seq, rng), steps
+        sampling_kwargs = dict(
+            use_sampling=use_sampling, temp=temp, top_k=top_k, top_p=top_p,
+            cfg_scale=cfg_scale,
         )
+        # bucket boundaries over [start_step, S), aligned to multiples of 8
+        n_b = max(int(decode_buckets), 1)
+        bounds = sorted(
+            {min(-(-((i + 1) * S) // n_b // 8) * 8, S) for i in range(n_b)}
+        )
+        carry = (cache, gen_seq_init, cond_seq, rng)
+        lo = start_step
+        for hi in bounds:
+            if hi <= lo:
+                continue
+            # steps s in [lo, hi) attend to cache positions < s <= hi
+            step = self.build_generation_step(
+                S=S, valid_mask=valid_mask, key_len=min(hi, S),
+                **sampling_kwargs,
+            )
+
+            def body(carry, s, _step=step):
+                return _step(params["sampler"], carry, s)
+
+            steps = jnp.arange(lo, hi, dtype=jnp.int32)
+            carry, _ = jax.lax.scan(body, carry, steps)
+            lo = hi
+        (_, gen_seq, _, _) = carry
         return gen_seq
 
     def build_cond_seq_for_generation(

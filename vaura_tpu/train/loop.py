@@ -212,6 +212,16 @@ class Trainer:
                 train_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
                 self.tb.scalar("train_loss_epoch", train_loss, global_step)
 
+                # ---------------- predict-run media logging ----------------
+                if self.model_cfg.get("predict_at_val_start") and not self.fast_dev_run:
+                    try:
+                        rng, p_rng = jax.random.split(rng)
+                        self._log_predict_media(
+                            state.params, frozen, datamodule, p_rng, global_step
+                        )
+                    except Exception as e:
+                        logger.warning("predict-media logging failed: %s", e)
+
                 # ---------------- validation ----------------
                 val_loss, val_per_cb = self._run_eval(
                     eval_step, state.params, frozen, val_loader,
@@ -253,6 +263,46 @@ class Trainer:
         if not losses:
             return float("nan"), np.zeros(self.system.num_codebooks)
         return float(np.mean(losses)), np.mean(per_cbs, axis=0)
+
+    def _log_predict_media(self, trainable, frozen, datamodule, rng, step):
+        """Generate audio for one predict sample and log audio +
+        conditioned-frames video to TB (reference
+        ``on_validation_epoch_start`` + ``_log_predict_run``,
+        ``vaura_model.py:349-388,638-688``)."""
+        from vaura_tpu.utils.viz import scale_to_01
+
+        item = next(iter(datamodule.predict_dataloader()))
+        frames = np.asarray(item["frames"])
+        params = {**frozen, **trainable}
+        # reference uses 221 tokens when vis feats are flattened, else 48
+        # (vaura_model.py:644-649)
+        n_tokens = 221 if self.system.flatten_vis_feats else 48
+        n_tokens = min(n_tokens, self.system.sampler_config.block_size_audio - 16)
+        out = self.system.generate(
+            params,
+            jax.numpy.asarray(frames),
+            rng,
+            max_new_tokens=n_tokens,
+            top_k=128,
+            decode_to_audio=True,
+        )
+        audio = np.clip(np.asarray(out["audio"], np.float32), -1, 1)
+        sr = self.system.dac_config.sample_rate
+        name = "sample_0"
+        if isinstance(item.get("meta"), dict):
+            fps = item["meta"].get("filepath")
+            if isinstance(fps, list) and fps:
+                name = str(Path(fps[0]).stem)
+        self.tb.audio(f"generated_audio/{name}", audio[0, 0], step, sr)
+        # conditioned frames: [B, S, C, T, H, W] -> [S*T, H, W, C]
+        fr = frames[0]
+        video = scale_to_01(
+            fr.transpose(0, 2, 3, 4, 1).reshape(-1, *fr.shape[-2:], fr.shape[1])
+        )
+        self.tb.video(f"conditioned_frames/{name}", video, step, fps=25)
+        self.tb.histogram(
+            f"sampled_indices/{name}", np.asarray(out["codes"]).ravel(), step
+        )
 
     def test(self, params, frozen, datamodule, rng) -> Dict[str, float]:
         """Teacher-forced test loss (reference ``scripts/test.py:97-99``)."""
