@@ -72,6 +72,7 @@ class SamplerConfig:
     codebook_dim: int = 8  # DAC codebook entry dim (factored embedding)
     dac_factored_embeddings: bool = True
     use_visual_conditioning: bool = True
+    use_pallas_decode: bool = False  # Pallas bounded-read decode attention
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -229,7 +230,15 @@ class Attention(nn.Module):
         scale = 1.0 / math.sqrt(cfg.head_dim)
         rep = cfg.nhead // cfg.n_kv_heads
 
-        if cache_kv is not None:
+        if cache_kv is not None and cfg.use_pallas_decode and rep == 1:
+            # Pallas kernel: DMAs exactly ceil(pos/BLOCK) cache blocks
+            from vaura_tpu.ops.pallas_attention import decode_attention
+
+            ck, cv = cache_kv
+            out = decode_attention(
+                q[:, 0], ck, cv, k[:, 0], v[:, 0], pos
+            ).reshape(B, S, cfg.d_model)
+        elif cache_kv is not None:
             # decode: S == 1. Attend over cache[<pos] + current k/v.
             ck, cv = cache_kv  # [B, S_max, n_kv, hd]
             S_max = ck.shape[1]
