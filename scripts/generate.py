@@ -78,6 +78,7 @@ def save_results(
 
 def generate(cfg: dict) -> dict:
     logging.basicConfig(level=logging.INFO)
+    logging.getLogger().setLevel(logging.INFO)
     duration = float(cfg.get("duration", 2.56))
     stride = float(cfg.get("stride", 0.64))
     assert (

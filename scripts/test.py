@@ -27,6 +27,7 @@ logger = logging.getLogger(__name__)
 
 def test(cfg: dict) -> dict:
     logging.basicConfig(level=logging.INFO)
+    logging.getLogger().setLevel(logging.INFO)
     trainer_cfg = cfg["trainer"]
     model_cfg = cfg["model"]
     dirs = init_log_directory(
