@@ -23,6 +23,7 @@ from pathlib import Path
 from typing import Any, Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vaura_tpu.models.vaura import VauraSystem
@@ -133,6 +134,7 @@ class Trainer:
             betas=tuple(self.model_cfg.get("betas", (0.9, 0.95))),
             gradient_clip_val=cfg.get("gradient_clip_val", 1.0),
             gradient_clip_algorithm=cfg.get("gradient_clip_algorithm", "value"),
+            accumulate_grad_batches=int(cfg.get("accumulate_grad_batches", 1) or 1),
         )
         state = TrainState.create(trainable, tx)
         if resume_path:
@@ -153,15 +155,6 @@ class Trainer:
         train_step = make_train_step(system)
         eval_step = make_eval_step(system)
 
-        accum = int(cfg.get("accumulate_grad_batches", 1) or 1)
-        if accum > 1:
-            logger.warning(
-                "accumulate_grad_batches=%d requested; using batch-level "
-                "accumulation via optax.MultiSteps is not yet wired — "
-                "steps apply per batch",
-                accum,
-            )
-
         max_epochs = self.fast_dev_run and 1 or int(cfg.get("max_epochs", 50))
         min_epochs = int(cfg.get("min_epochs", 1))
         overfit = int(cfg.get("overfit_batches", 0) or 0)
@@ -169,6 +162,9 @@ class Trainer:
 
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
+
+        vci = cfg.get("val_check_interval", 1.0)
+        tracked = set(self.model_cfg.get("files_to_track_during_training") or [])
 
         global_step = int(state.step)
         stop = False
@@ -209,6 +205,24 @@ class Trainer:
                         else schedule,
                         global_step,
                     )
+                    if tracked:
+                        self._log_tracked_files(
+                            state.params, frozen, batch, global_step
+                        )
+                    # mid-epoch validation (fractional val_check_interval,
+                    # reference vaura_defaults.yaml:58)
+                    if (
+                        isinstance(vci, float)
+                        and 0 < vci < 1.0
+                        and (bi + 1) % max(1, int(n_batches * vci)) == 0
+                        and bi + 1 < n_batches
+                    ):
+                        v_loss, _ = self._run_eval(
+                            eval_step, state.params, frozen, val_loader,
+                            self._limit("limit_val_batches", len(val_loader)),
+                            rng,
+                        )
+                        self.tb.scalar("val_loss_step", v_loss, global_step)
                 train_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
                 self.tb.scalar("train_loss_epoch", train_loss, global_step)
 
@@ -263,6 +277,45 @@ class Trainer:
         if not losses:
             return float("nan"), np.zeros(self.system.num_codebooks)
         return float(np.mean(losses)), np.mean(per_cbs, axis=0)
+
+    def _log_tracked_files(self, trainable, frozen, batch, step):
+        """Greedy-decode audio for tracked training files and log it
+        (reference ``_log_training_samples``, ``vaura_model.py:618-636``)."""
+        meta = batch.get("meta") or {}
+        files = meta.get("filepath")
+        if not isinstance(files, list):
+            return
+        tracked = set(self.model_cfg.get("files_to_track_during_training") or [])
+        idxs = [
+            i for i, f in enumerate(files) if Path(str(f)).stem in tracked
+        ]
+        if not idxs:
+            return
+        try:
+            params = {**frozen, **trainable}
+            sub_audio = batch["audio"][np.asarray(idxs)]
+            sub_frames = (
+                batch["frames"][np.asarray(idxs)]
+                if batch.get("frames") is not None
+                else None
+            )
+            _, aux = self.system.train_forward(
+                params, sub_frames, sub_audio, jax.random.PRNGKey(0), train=False
+            )
+            tokens = jnp.argmax(aux["logits"], axis=-1)
+            wav = np.clip(
+                np.asarray(self.system.decode_audio(params, tokens), np.float32),
+                -1, 1,
+            )
+            sr = self.system.dac_config.sample_rate
+            for j, i in enumerate(idxs):
+                name = Path(str(files[i])).stem
+                self.tb.audio(
+                    f"generated_audio_of_training_data/{name}",
+                    wav[j, 0], step, sr,
+                )
+        except Exception as e:
+            logger.warning("tracked-file logging failed: %s", e)
 
     def _log_predict_media(self, trainable, frozen, datamodule, rng, step):
         """Generate audio for one predict sample and log audio +

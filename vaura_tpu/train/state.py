@@ -56,9 +56,12 @@ def make_optimizer(
     betas: Tuple[float, float] = (0.9, 0.95),
     gradient_clip_val: Optional[float] = 1.0,
     gradient_clip_algorithm: str = "value",
+    accumulate_grad_batches: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW with per-rank decay masking + value/norm clipping; frozen
-    buffer leaves get zero updates."""
+    buffer leaves get zero updates. ``accumulate_grad_batches`` wraps the
+    whole transform in ``optax.MultiSteps`` (reference
+    ``trainer.accumulate_grad_batches``)."""
     chain = []
     if gradient_clip_val is not None and gradient_clip_val > 0:
         if gradient_clip_algorithm == "value":
@@ -83,7 +86,10 @@ def make_optimizer(
             param_labels,
         )
     )
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if accumulate_grad_batches and accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accumulate_grad_batches))
+    return tx
 
 
 class TrainState(struct.PyTreeNode):
