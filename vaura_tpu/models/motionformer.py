@@ -54,6 +54,7 @@ class MotionFormerConfig:
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.2
     pos_embed_type: str = "separate"  # separate | joint
+    attn_layer: str = "divided"  # divided | joint (reference VIT.ATTN_LAYER)
     norm_eps: float = 1e-6
     factorize_space_time: bool = True
     agg_space_module: str = "TransformerEncoderLayer"  # | AveragePooling
@@ -237,6 +238,47 @@ class DividedSpaceTimeBlock(nn.Module):
         return x * mask.astype(x.dtype) / keep
 
 
+class JointSpaceTimeBlock(nn.Module):
+    """Standard pre-norm ViT block with joint space-time attention
+    (reference ``vit_helper.py:47-77`` + ``Block``): one attention over all
+    1 + t*hw tokens. Selected by ``attn_layer: joint``
+    (``joint_224_16x4.yaml``)."""
+
+    config: MotionFormerConfig
+
+    @nn.compact
+    def __call__(self, x, broadcast_in, drop_path_rate):
+        cfg = self.config
+        f, n, train = broadcast_in
+        ln = lambda name: nn.LayerNorm(
+            epsilon=cfg.norm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name=name,
+        )
+        B, N, D = x.shape
+        H, hd = cfg.num_heads, cfg.head_dim
+        h = ln("norm1")(x)
+        qkv = nn.Dense(
+            3 * D, use_bias=cfg.qkv_bias, kernel_init=_trunc_normal(),
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="attn_qkv",
+        )(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        reshape = lambda t: t.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+        out = _masked_softmax_attn(reshape(q) * (hd**-0.5), reshape(k), reshape(v))
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        out = nn.Dense(
+            D, kernel_init=_trunc_normal(), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="attn_proj",
+        )(out)
+        x = x + self._drop_path(out, drop_path_rate, train)
+        mlp_out = Mlp(
+            cfg, int(cfg.embed_dim * cfg.mlp_ratio), cfg.embed_dim, name="mlp"
+        )(ln("norm2")(x), train)
+        x = x + self._drop_path(mlp_out, drop_path_rate, train)
+        return x, drop_path_rate
+
+    _drop_path = DividedSpaceTimeBlock._drop_path
+
+
 class SpatialAggregationLayer(nn.Module):
     """CLS-token transformer encoder layer aggregating the 196 spatial
     tokens of each frame into one 768-d vector (reference
@@ -358,8 +400,12 @@ class MotionFormer(nn.Module):
         dpr = jnp.asarray(
             np.linspace(0.0, cfg.drop_path_rate, cfg.depth), dtype=jnp.float32
         )
+        block_cls = (
+            JointSpaceTimeBlock if cfg.attn_layer == "joint"
+            else DividedSpaceTimeBlock
+        )
         blocks = nn.scan(
-            DividedSpaceTimeBlock,
+            block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast, 0),
