@@ -199,3 +199,23 @@ def test_generate_long_chunked(system):
     assert codes.shape == (1, 3, 16)
     assert (codes >= 0).all() and (codes <= SAMPLER_TINY.d_codebook).all()
     assert out["audio"].shape == (1, 1, 16 * DAC_TINY.hop_length)
+
+
+def test_train_forward_per_clip_audio(system):
+    """Non-flattened training mode: audio arrives clip-partitioned
+    [B, n_clips, 1, Ta_clip] with per-clip frames (reference
+    _stack_list_repr path)."""
+    sys_, params = system
+    rng = np.random.default_rng(1)
+    B, n_clips = 2, 2
+    frames = jnp.asarray(
+        rng.standard_normal((B, n_clips, 3, 4, 16, 16)).astype(np.float32)
+    )
+    audio = jnp.asarray(
+        (rng.standard_normal((B, n_clips, 1, DAC_TINY.hop_length * 10)) * 0.1
+         ).astype(np.float32)
+    )
+    loss, aux = sys_.train_forward(params, frames, audio, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    # folded batch: B * n_clips samples
+    assert aux["logits"].shape[0] == B * n_clips

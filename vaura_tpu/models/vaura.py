@@ -388,14 +388,17 @@ class VauraSystem:
         top_p: float = 0.0,
         cfg_scale: float = 1.0,
         cache_dtype=None,
-        decode_buckets: int = 4,
+        decode_buckets: int = 1,
     ) -> jax.Array:
         """Run the generation scan; returns the completed ``[B, K, S]``
         sequence. ``start_step`` is static; steps scan from there to S.
 
         ``decode_buckets`` splits the step range into segments with static
-        attended-key lengths (S/n, 2S/n, ..., S): early steps read only a
-        prefix of the cache, cutting average cache HBM traffic ~(n+1)/2n.
+        attended-key lengths (S/n, 2S/n, ..., S). Measured on v5e at
+        B=8/S=230 this LOSES ~12% (the sliced cache breaks XLA's in-place
+        scan-carry aliasing and is materialized per step), so the default
+        is 1; kept as an option for long-context settings where the
+        read savings dominate the copy.
         """
         B = gen_seq_init.shape[0]
         cache_batch = cond_seq.shape[0]
