@@ -1,0 +1,75 @@
+"""End-to-end config loading tests over the repo's shipped YAMLs: defaults
+layering, from_file composition, and system building (no parameter init —
+configs only)."""
+
+from pathlib import Path
+
+import pytest
+
+from vaura_tpu.config import assemble_config
+from vaura_tpu.models.factory import build_system
+
+REPO = Path(__file__).resolve().parents[1]
+DEFAULTS = REPO / "configs" / "vaura_defaults.yaml"
+
+
+def _assemble(cfg_rel: str, *overrides: str) -> dict:
+    return assemble_config(
+        [f"config={REPO / cfg_rel}", *overrides],
+        defaults_path=DEFAULTS,
+        base_dir=REPO,
+    )
+
+
+def test_main_experiment_config():
+    cfg = _assemble(
+        "configs/experiments/vggsound/9cb-viscond-avclip-channel_concat-llama.yaml"
+    )
+    assert cfg["action"] == "train"
+    # defaults layered under the experiment
+    assert cfg["trainer"]["seed"] == 666
+    assert cfg["model"]["learning_rate"] == pytest.approx(0.000108)
+    assert cfg["model"]["weight_decay"] == pytest.approx(1.08e-05)
+    # from_file sub-configs resolved
+    sampler = cfg["model"]["sampler_config"]
+    assert sampler["params"]["num_layers"] == 24
+    assert sampler["params"]["d_model"] == 1536
+    system = build_system(cfg["model"], precision=cfg["trainer"]["precision"])
+    assert system.sampler_config.num_codebooks == 9
+    assert system.sampler_config.cond_dim == 512
+    assert system.sampler_config.token_dim == 1024
+    assert system.sampler_config.ffn_hidden_dim == 4096
+    assert system.dac_config.sample_rate == 44100
+    assert system.dac_config.hop_length == 512
+    assert system.encoder_config.embed_dim == 768
+    assert system.freeze_feature_extractor
+
+
+def test_dummy_config_builds():
+    cfg = _assemble("configs/experiments/dummy.yaml")
+    system = build_system(cfg["model"], precision=cfg["trainer"]["precision"])
+    assert system.sampler_config.d_model == 48
+    assert system.dac_config.hop_length == 8
+    assert system.sampler_config.token_dim == system.dac_config.resolved_latent_dim
+
+
+def test_generate_configs_load():
+    for name in (
+        "configs/generate_vgg.yaml",
+        "configs/generate_vas.yaml",
+        "configs/generate_vgg_sparse.yaml",
+        "configs/generate_visualsound.yaml",
+    ):
+        cfg = _assemble(name)
+        assert cfg["action"] == "generate"
+        assert "dataloader" in cfg
+
+
+def test_cli_override_into_subconfig():
+    cfg = _assemble(
+        "configs/experiments/dummy.yaml",
+        "model.sampler_config.params.num_layers=3",
+        "trainer.max_epochs=7",
+    )
+    assert cfg["model"]["sampler_config"]["params"]["num_layers"] == 3
+    assert cfg["trainer"]["max_epochs"] == 7
