@@ -33,7 +33,7 @@ TOKENS_PER_SECOND = 86  # DAC 44.1kHz frame rate (reference generate.py:30)
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--tokens", type=int, default=221)
     ap.add_argument("--cfg-scale", type=float, default=6.0)
     ap.add_argument("--top-k", type=int, default=128)

@@ -121,6 +121,12 @@ def generate(cfg: dict) -> dict:
         trainable = payload["params"]
         logger.info("Loaded checkpoint %s", ckpt_path)
     params = {**frozen, **trainable}
+    # bf16 weights for inference: halves weight-streaming HBM traffic
+    import jax.numpy as jnp
+
+    from vaura_tpu.utils import cast_floats
+
+    params = cast_floats(params, jnp.bfloat16)
 
     if model_max_duration is None:
         model_max_duration = (
