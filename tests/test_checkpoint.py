@@ -1,0 +1,92 @@
+"""Checkpoint manager tests: save/restore round trip, top-k retention by
+val_loss, last-symlink, frozen-subtree separation, emergency save, and
+best-checkpoint resolution by name (reference utils/utils.py:30-45,
+train_utils.py:101-144 contracts)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vaura_tpu.train.checkpoint import CheckpointManager, abstract_like
+from vaura_tpu.train.state import TrainState, make_optimizer
+from vaura_tpu.utils.experiment import (
+    checkpoint_name,
+    resolve_best_checkpoint,
+)
+
+
+def _state(seed=0):
+    params = {
+        "sampler": {
+            "w": jax.random.normal(jax.random.PRNGKey(seed), (4, 4)),
+            "uncond_embedding": jnp.ones((2, 3)),
+        }
+    }
+    return TrainState.create(params, make_optimizer(1e-3))
+
+
+def test_save_restore_roundtrip(tmp_path):
+    mgr = CheckpointManager(tmp_path / "ckpts")
+    state = _state()
+    mgr.save(state, epoch=0, step=10, val_loss=1.5)
+    payload = mgr.restore(
+        tmp_path / "ckpts" / checkpoint_name(0, 10, 1.5),
+        {"params": abstract_like(state.params),
+         "opt_state": abstract_like(state.opt_state),
+         "step": abstract_like(state.step)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(payload["params"]["sampler"]["w"]),
+        np.asarray(state.params["sampler"]["w"]),
+    )
+
+
+def test_topk_and_best(tmp_path):
+    mgr = CheckpointManager(tmp_path / "ckpts", top_k=2)
+    for i, vl in enumerate([3.0, 1.0, 2.0, 0.5]):
+        mgr.save(_state(i), epoch=i, step=i * 10, val_loss=vl)
+    names = sorted(
+        p.name for p in (tmp_path / "ckpts").iterdir()
+        if p.name.startswith("epoch=")
+    )
+    # top-2 by val_loss: 0.5 and 1.0 survive
+    assert len(names) == 2
+    assert any("val_loss=0.500" in n for n in names)
+    assert any("val_loss=1.000" in n for n in names)
+    best = resolve_best_checkpoint(tmp_path / "ckpts")
+    assert "val_loss=0.500" in best.name
+    # last symlink points at the most recent save
+    last = tmp_path / "ckpts" / "last"
+    assert last.is_symlink()
+    assert "val_loss=0.500" in str(last.readlink())
+
+
+def test_frozen_roundtrip(tmp_path):
+    mgr = CheckpointManager(tmp_path / "ckpts")
+    frozen = {"dac": {"w": jnp.arange(6.0).reshape(2, 3)}}
+    mgr.save_frozen(frozen)
+    back = mgr.restore_frozen(abstract_like(frozen))
+    np.testing.assert_allclose(np.asarray(back["dac"]["w"]), np.arange(6.0).reshape(2, 3))
+
+
+def test_emergency_save(tmp_path):
+    mgr = CheckpointManager(tmp_path / "ckpts")
+    path = mgr.save_emergency(_state(), epoch=4)
+    assert path.exists()
+    assert path.name.startswith("e4_last_at_")
+
+
+def test_restore_best_via_manager(tmp_path):
+    mgr = CheckpointManager(tmp_path / "ckpts", top_k=3)
+    s1, s2 = _state(1), _state(2)
+    mgr.save(s1, 0, 1, 2.0)
+    mgr.save(s2, 1, 2, 1.0)
+    payload = mgr.restore_best({"params": abstract_like(s2.params),
+                                "opt_state": abstract_like(s2.opt_state),
+                                "step": abstract_like(s2.step)})
+    np.testing.assert_allclose(
+        np.asarray(payload["params"]["sampler"]["w"]),
+        np.asarray(s2.params["sampler"]["w"]),
+    )

@@ -49,7 +49,7 @@ def _make_kernel(H: int, hd: int):
         pos = pos_ref[0]
         BS = DEFAULT_BLOCK
         scale = 1.0 / (hd**0.5)
-        q = q_ref[...].astype(jnp.float32) * scale  # [1, D]
+        q = q_ref[pl.ds(b, 1), :].astype(jnp.float32) * scale  # [1, D]
         # block-diagonal head map M[i, h] = (i // hd == h)
         lane = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0)
         head = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
@@ -104,8 +104,8 @@ def _make_kernel(H: int, hd: int):
             )
 
             # fuse the current position's K/V (always attended)
-            k_c = kcur_ref[...].astype(jnp.float32)  # [1, D]
-            v_c = vcur_ref[...].astype(jnp.float32)
+            k_c = kcur_ref[pl.ds(b, 1), :].astype(jnp.float32)  # [1, D]
+            v_c = vcur_ref[pl.ds(b, 1), :].astype(jnp.float32)
             s_c = jnp.dot(k_c * q, M, preferred_element_type=jnp.float32)  # [1, H]
             m_new = jnp.maximum(m, s_c)
             alpha_l = jnp.exp(m - m_new)
@@ -115,7 +115,7 @@ def _make_kernel(H: int, hd: int):
             pc_lanes = jnp.dot(p_c, M.T, preferred_element_type=jnp.float32)
             acc = acc * alpha_lanes + pc_lanes * v_c
             l_lanes = jnp.dot(l, M.T, preferred_element_type=jnp.float32)
-            o_ref[...] = (acc / l_lanes).astype(o_ref.dtype)
+            o_ref[pl.ds(b, 1), :] = (acc / l_lanes).astype(o_ref.dtype)
 
         pl.run_scoped(
             body,
@@ -152,15 +152,13 @@ def decode_attention(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, D), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q (full, row-indexed)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_cur
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_cur
             pl.BlockSpec(memory_space=pl.ANY),  # k_cache stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # v_cache stays in HBM
         ],
-        out_specs=pl.BlockSpec(
-            (1, D), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         _make_kernel(H, hd),
