@@ -40,89 +40,118 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK = 64
 
 
+ROWS_PER_PROGRAM = 8  # sublane-aligned batch tile per grid program
+
+
 def _make_kernel(H: int, hd: int):
     D = H * hd
+    R = ROWS_PER_PROGRAM
 
     def _kernel(pos_ref, q_ref, kcur_ref, vcur_ref, k_hbm, v_hbm, o_ref):
-        """Grid: (B,). Block-streamed online-softmax attention."""
-        b = pl.program_id(0)
+        """Grid: (B/R,). Each program handles R batch rows (static row
+        indices — Mosaic requires sublane indices provably 8-aligned)."""
+        i = pl.program_id(0)
         pos = pos_ref[0]
         BS = DEFAULT_BLOCK
         scale = 1.0 / (hd**0.5)
-        q = q_ref[pl.ds(b, 1), :].astype(jnp.float32) * scale  # [1, D]
-        # block-diagonal head map M[i, h] = (i // hd == h)
+        # block-diagonal head map M[lane, h] = (lane // hd == h)
         lane = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0)
         head = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
         M = (lane // hd == head).astype(jnp.float32)  # [D, H]
 
         def body(scr_k, scr_v, sem_k, sem_v):
-            n_blocks = pl.cdiv(pos, BS)  # dynamic trip count: exact reads
+            n_blocks = pl.cdiv(pos, BS)
 
             def block_step(blk, state):
-                m, l, acc = state  # m, l: [1, H]; acc: [1, D]
-                cp_k = pltpu.make_async_copy(
-                    k_hbm.at[b, pl.ds(blk * BS, BS)], scr_k, sem_k
+                m, l, acc = state  # m, l: [R, H]; acc: [R, D]
+                # R parallel row DMAs, then one wait each
+                for r in range(R):
+                    pltpu.make_async_copy(
+                        k_hbm.at[i * R + r, pl.ds(blk * BS, BS)],
+                        scr_k.at[r],
+                        sem_k.at[r],
+                    ).start()
+                    pltpu.make_async_copy(
+                        v_hbm.at[i * R + r, pl.ds(blk * BS, BS)],
+                        scr_v.at[r],
+                        sem_v.at[r],
+                    ).start()
+                for r in range(R):
+                    pltpu.make_async_copy(
+                        k_hbm.at[i * R + r, pl.ds(blk * BS, BS)],
+                        scr_k.at[r],
+                        sem_k.at[r],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        v_hbm.at[i * R + r, pl.ds(blk * BS, BS)],
+                        scr_v.at[r],
+                        sem_v.at[r],
+                    ).wait()
+                j_iota = jax.lax.broadcasted_iota(jnp.int32, (BS, H), 0)
+                m_out, l_out, acc_out = [], [], []
+                q_all = q_ref[...].astype(jnp.float32) * scale  # [R, D]
+                for r in range(R):
+                    k_blk = scr_k[r].astype(jnp.float32)  # [BS, D]
+                    v_blk = scr_v[r].astype(jnp.float32)
+                    q_r = q_all[r : r + 1]  # [1, D] static slice
+                    scores = jnp.dot(
+                        k_blk * q_r, M, preferred_element_type=jnp.float32
+                    )  # [BS, H]
+                    scores = jnp.where(blk * BS + j_iota < pos, scores, -1e30)
+                    m_r = m[r : r + 1]
+                    l_r = l[r : r + 1]
+                    acc_r = acc[r : r + 1]
+                    m_new = jnp.maximum(
+                        m_r, jnp.max(scores, axis=0, keepdims=True)
+                    )
+                    alpha = jnp.exp(m_r - m_new)  # [1, H]
+                    p = jnp.exp(scores - m_new)  # [BS, H]
+                    l_new = l_r * alpha + jnp.sum(p, axis=0, keepdims=True)
+                    p_lanes = jnp.dot(p, M.T, preferred_element_type=jnp.float32)
+                    alpha_lanes = jnp.dot(
+                        alpha, M.T, preferred_element_type=jnp.float32
+                    )
+                    acc_new = acc_r * alpha_lanes + jnp.sum(
+                        p_lanes * v_blk, axis=0, keepdims=True
+                    )
+                    m_out.append(m_new)
+                    l_out.append(l_new)
+                    acc_out.append(acc_new)
+                return (
+                    jnp.concatenate(m_out, axis=0),
+                    jnp.concatenate(l_out, axis=0),
+                    jnp.concatenate(acc_out, axis=0),
                 )
-                cp_v = pltpu.make_async_copy(
-                    v_hbm.at[b, pl.ds(blk * BS, BS)], scr_v, sem_v
-                )
-                cp_k.start()
-                cp_v.start()
-                cp_k.wait()
-                cp_v.wait()
-                k_blk = scr_k[...].astype(jnp.float32)  # [BS, D]
-                v_blk = scr_v[...].astype(jnp.float32)
-                # per-head scores via block-diagonal contraction: [BS, H]
-                scores = jnp.dot(
-                    k_blk * q, M, preferred_element_type=jnp.float32
-                )
-                j_idx = blk * BS + jax.lax.broadcasted_iota(
-                    jnp.int32, (BS, H), 0
-                )
-                scores = jnp.where(j_idx < pos, scores, -1e30)
-                m_new = jnp.maximum(m, jnp.max(scores, axis=0, keepdims=True))
-                alpha_l = jnp.exp(m - m_new)  # [1, H]
-                p = jnp.exp(scores - m_new)  # [BS, H]
-                l_new = l * alpha_l + jnp.sum(p, axis=0, keepdims=True)
-                # expand per-head weights back to lanes and accumulate
-                p_lanes = jnp.dot(
-                    p, M.T, preferred_element_type=jnp.float32
-                )  # [BS, D]
-                alpha_lanes = jnp.dot(
-                    alpha_l, M.T, preferred_element_type=jnp.float32
-                )  # [1, D]
-                acc_new = acc * alpha_lanes + jnp.sum(
-                    p_lanes * v_blk, axis=0, keepdims=True
-                )
-                return m_new, l_new, acc_new
 
-            m0 = jnp.full((1, H), -1e30, jnp.float32)
-            l0 = jnp.zeros((1, H), jnp.float32)
-            acc0 = jnp.zeros((1, D), jnp.float32)
+            m0 = jnp.full((R, H), -1e30, jnp.float32)
+            l0 = jnp.zeros((R, H), jnp.float32)
+            acc0 = jnp.zeros((R, D), jnp.float32)
             m, l, acc = jax.lax.fori_loop(
                 0, n_blocks, block_step, (m0, l0, acc0)
             )
 
-            # fuse the current position's K/V (always attended)
-            k_c = kcur_ref[pl.ds(b, 1), :].astype(jnp.float32)  # [1, D]
-            v_c = vcur_ref[pl.ds(b, 1), :].astype(jnp.float32)
-            s_c = jnp.dot(k_c * q, M, preferred_element_type=jnp.float32)  # [1, H]
-            m_new = jnp.maximum(m, s_c)
-            alpha_l = jnp.exp(m - m_new)
+            # fuse the current position's K/V (always attended), vectorized
+            # over the R rows
+            q_all = q_ref[...].astype(jnp.float32) * scale  # [R, D]
+            k_c = kcur_ref[...].astype(jnp.float32)  # [R, D]
+            v_c = vcur_ref[...].astype(jnp.float32)
+            s_c = jnp.dot(k_c * q_all, M, preferred_element_type=jnp.float32)
+            m_new = jnp.maximum(m, s_c)  # [R, H]
+            alpha = jnp.exp(m - m_new)
             p_c = jnp.exp(s_c - m_new)
-            l = l * alpha_l + p_c
-            alpha_lanes = jnp.dot(alpha_l, M.T, preferred_element_type=jnp.float32)
+            l = l * alpha + p_c
+            alpha_lanes = jnp.dot(alpha, M.T, preferred_element_type=jnp.float32)
             pc_lanes = jnp.dot(p_c, M.T, preferred_element_type=jnp.float32)
             acc = acc * alpha_lanes + pc_lanes * v_c
             l_lanes = jnp.dot(l, M.T, preferred_element_type=jnp.float32)
-            o_ref[pl.ds(b, 1), :] = (acc / l_lanes).astype(o_ref.dtype)
+            o_ref[...] = (acc / l_lanes).astype(o_ref.dtype)
 
         pl.run_scoped(
             body,
-            scr_k=pltpu.VMEM((DEFAULT_BLOCK, D), k_hbm.dtype),
-            scr_v=pltpu.VMEM((DEFAULT_BLOCK, D), v_hbm.dtype),
-            sem_k=pltpu.SemaphoreType.DMA(()),
-            sem_v=pltpu.SemaphoreType.DMA(()),
+            scr_k=pltpu.VMEM((R, DEFAULT_BLOCK, D), k_hbm.dtype),
+            scr_v=pltpu.VMEM((R, DEFAULT_BLOCK, D), v_hbm.dtype),
+            sem_k=pltpu.SemaphoreType.DMA((R,)),
+            sem_v=pltpu.SemaphoreType.DMA((R,)),
         )
 
     return _kernel
@@ -148,32 +177,51 @@ def decode_attention(
         k_cache = jnp.pad(k_cache, ((0, 0), (0, pad), (0, 0), (0, 0)))
         v_cache = jnp.pad(v_cache, ((0, 0), (0, pad), (0, 0), (0, 0)))
     Sp = S + pad
+    # pad batch to the per-program row tile
+    bpad = (-B) % ROWS_PER_PROGRAM
+    if bpad:
+        padB = lambda x: jnp.pad(x, ((0, bpad),) + ((0, 0),) * (x.ndim - 1))
+        q, k_cur, v_cur = padB(q), padB(k_cur), padB(v_cur)
+        k_cache, v_cache = padB(k_cache), padB(v_cache)
+    Bp = B + bpad
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(Bp // ROWS_PER_PROGRAM,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # q (full, row-indexed)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_cur
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_cur
+            pl.BlockSpec(
+                (ROWS_PER_PROGRAM, D), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (ROWS_PER_PROGRAM, D), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (ROWS_PER_PROGRAM, D), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY),  # k_cache stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # v_cache stays in HBM
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (ROWS_PER_PROGRAM, D), lambda i, *_: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
     )
     out = pl.pallas_call(
         _make_kernel(H, hd),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, D), q.dtype),
         interpret=interpret,
     )(
         jnp.reshape(pos.astype(jnp.int32), (1,)),
-        q.reshape(B, D),
-        k_cur.reshape(B, D),
-        v_cur.reshape(B, D),
-        k_cache.reshape(B, Sp, D),
-        v_cache.reshape(B, Sp, D),
+        q.reshape(Bp, D),
+        k_cur.reshape(Bp, D),
+        v_cur.reshape(Bp, D),
+        k_cache.reshape(Bp, Sp, D),
+        v_cache.reshape(Bp, Sp, D),
     )
-    return out.reshape(B, H, hd)
+    return out[:B].reshape(B, H, hd)
 
 
 def decode_attention_reference(q, k_cache, v_cache, k_cur, v_cur, pos):
