@@ -45,8 +45,12 @@ def main() -> None:
     from vaura_tpu.models.sampler import SamplerConfig
     from vaura_tpu.models.vaura import VauraSystem
 
+    import dataclasses
+
     sampler_cfg = SamplerConfig()  # flagship config
-    dac_cfg = config_for_sample_rate(44100)
+    dac_cfg = dataclasses.replace(
+        config_for_sample_rate(44100), dtype=jnp.bfloat16
+    )
     system = VauraSystem(
         sampler_config=sampler_cfg,
         dac_config=dac_cfg,

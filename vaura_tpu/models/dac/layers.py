@@ -44,6 +44,7 @@ class Conv1d(nn.Module):
     stride: int = 1
     padding: int = 0
     dilation: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -53,6 +54,7 @@ class Conv1d(nn.Module):
             strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             kernel_dilation=(self.dilation,),
+            dtype=self.dtype,
             name="conv",
         )(x)
 

@@ -51,6 +51,10 @@ class DacConfig:
     n_codebooks: int = 9
     codebook_size: int = 1024
     codebook_dim: int = 8
+    # compute dtype for the conv stacks (params stay f32). bf16 roughly
+    # halves codec HBM traffic; waveform differs from f32 by ~1e-3 —
+    # inaudible, but keep f32 for bit-parity checks.
+    dtype: Any = jnp.float32
 
     @property
     def resolved_latent_dim(self) -> int:
@@ -215,16 +219,16 @@ class Dac(nn.Module):
         """[B, 1, T] waveform -> [B, K, T/hop] int32 codes
         (reference wrapper ``dac/model.py:30-39``)."""
         wav = self.preprocess(wav)
-        x = jnp.transpose(wav, (0, 2, 1))  # [B, T, 1]
+        x = jnp.transpose(wav, (0, 2, 1)).astype(self.config.dtype)  # [B, T, 1]
         z = self.encoder(x)
-        return self.quantizer.encode(z)
+        return self.quantizer.encode(z.astype(jnp.float32))
 
     def decode(self, codes: jax.Array) -> jax.Array:
         """[B, K, T] codes -> [B, 1, T*hop] waveform
         (reference wrapper ``dac/model.py:41-48``)."""
         z_q = self.quantizer.from_codes(codes)
-        wav = self.decoder(z_q)
-        return jnp.transpose(wav, (0, 2, 1))
+        wav = self.decoder(z_q.astype(self.config.dtype))
+        return jnp.transpose(wav, (0, 2, 1)).astype(jnp.float32)
 
     def __call__(self, wav: jax.Array) -> jax.Array:
         return self.decode(self.encode(wav))

@@ -50,6 +50,8 @@ def build_system(
     dac_spec = instantiate_from_config(model_cfg["audio_encoder_config"])
     dac_config = getattr(dac_spec, "config", dac_spec)
     assert isinstance(dac_config, DacConfig), type(dac_config)
+    if dtype is not None:
+        dac_config = dataclasses.replace(dac_config, dtype=dtype)
 
     encoder_config: Optional[MotionFormerConfig] = None
     if use_vis and model_cfg.get("feature_extractor_config") is not None:

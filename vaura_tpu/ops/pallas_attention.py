@@ -26,6 +26,15 @@ Shapes (one decoder layer, one step):
 Used from ``Attention``'s decode branch when
 ``SamplerConfig.use_pallas_decode`` is set (TPU only; the dense XLA path
 remains the reference implementation and the CPU/test fallback).
+
+MEASURED (v5e-1, flagship 24L/1536d, B=32+CFG, S=230): this kernel runs
+28.6 ms/step vs 7.5 ms/step for the dense XLA decode path. The exact
+bounded reads do not pay for the lost DMA pipelining (single-buffered
+copies, per-row head matmuls, 24 kernel launches/step), so the default
+stays ``use_pallas_decode=False``. To make it win it needs double-buffered
+block DMA overlapped with compute and row-batched score matmuls — left as
+the documented optimization path for longer contexts where bounded reads
+dominate.
 """
 
 from __future__ import annotations
