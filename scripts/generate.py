@@ -156,8 +156,11 @@ def generate(cfg: dict) -> dict:
         use_sampling=use_sampling, temp=temp, top_k=top_k, top_p=top_p,
         cfg_scale=cfg_scale,
     )
+    max_batches = cfg.get("max_batches")
     n_done = 0
-    for batch in loader:
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= int(max_batches):
+            break
         try:
             frames = batch["frames"]
             rng, gen_rng = jax.random.split(rng)

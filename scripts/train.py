@@ -51,7 +51,16 @@ def train(cfg: dict) -> dict:
             fsdp=int(mesh_cfg.get("fsdp", 1)),
             model=int(mesh_cfg.get("model", 1)),
         )
-        logger.info("Mesh: %s", dict(mesh.shape))
+        batch_ways = mesh.shape["data"] * mesh.shape["fsdp"]
+        batch_size = int(cfg["dataloader"].get("batch_size", 1))
+        if batch_size % batch_ways != 0:
+            logger.warning(
+                "batch_size %d not divisible by data*fsdp=%d; "
+                "running unsharded", batch_size, batch_ways,
+            )
+            mesh = None
+        else:
+            logger.info("Mesh: %s", dict(mesh.shape))
 
     trainer = Trainer(system, trainer_cfg, model_cfg, dirs, mesh=mesh)
     result = trainer.fit(
