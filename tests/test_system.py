@@ -219,3 +219,36 @@ def test_train_forward_per_clip_audio(system):
     assert np.isfinite(float(loss))
     # folded batch: B * n_clips samples
     assert aux["logits"].shape[0] == B * n_clips
+
+
+def test_prefill_prompt_path_matches_scan(system):
+    """With a long prompt the public generate() uses the batched prefill
+    fast path; its greedy output must match the pure-scan ingestion path
+    step for step."""
+    sys_, params = system
+    frames = _batch(B=1)["frames"]
+    prompt = jnp.asarray(
+        np.random.default_rng(11).integers(0, 16, size=(1, 3, 20)), jnp.int32
+    )
+    kw = dict(
+        audio_prompt_codes=prompt, max_new_tokens=40, use_sampling=False,
+        decode_to_audio=False,
+    )
+    out_fast = sys_.generate(params, frames, jax.random.PRNGKey(0), **kw)
+
+    # pure-scan reference: rebuild manually with start_step=1, no prefill
+    pattern, valid_mask, S = sys_.prepare_generation(40)
+    gen_codes = jnp.full((1, 3, 40), -1, jnp.int32)
+    gen_codes = gen_codes.at[:, :, :20].set(prompt)
+    gen_seq, _, _ = pattern.build_pattern_sequence(
+        gen_codes, sys_.special_token_id
+    )
+    vis_feats = sys_.visual_features(params, frames, train=False)
+    cond_seq = sys_.build_cond_seq_for_generation(params, vis_feats, S)
+    gen_seq = sys_.generate_tokens(
+        params, cond_seq, gen_seq, jax.random.PRNGKey(0),
+        S=S, valid_mask=valid_mask, start_step=1, use_sampling=False,
+    )
+    codes_ref, _, _ = pattern.revert_pattern_sequence(gen_seq, -1)
+    codes_ref = np.asarray(codes_ref)[..., :40]
+    np.testing.assert_array_equal(np.asarray(out_fast["codes"]), codes_ref)

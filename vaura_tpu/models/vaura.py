@@ -389,6 +389,7 @@ class VauraSystem:
         cfg_scale: float = 1.0,
         cache_dtype=None,
         decode_buckets: int = 1,
+        initial_cache: Optional[Dict[str, jax.Array]] = None,
     ) -> jax.Array:
         """Run the generation scan; returns the completed ``[B, K, S]``
         sequence. ``start_step`` is static; steps scan from there to S.
@@ -402,7 +403,7 @@ class VauraSystem:
         """
         B = gen_seq_init.shape[0]
         cache_batch = cond_seq.shape[0]
-        cache = self.sampler.init_cache(
+        cache = initial_cache or self.sampler.init_cache(
             cache_batch, S, dtype=cache_dtype or self.sampler_config.dtype
         )
 
@@ -509,14 +510,36 @@ class VauraSystem:
         gen_seq, _, _ = pattern.build_pattern_sequence(
             gen_codes, self.special_token_id
         )
-        # The scan always starts at step 1: prompt steps flow through the
-        # same compiled step function (their sampled tokens are discarded by
-        # the write-guard) while their K/V enter the cache — one compilation
-        # for every prompt length.
         use_cfg = cfg_scale > 1.0
         cond_seq = self.build_cond_seq_for_generation(
             params, vis_feats, S, tokens_per_frame, cfg=use_cfg
         )
+
+        # Prompt ingestion. Short/no prompt: the decode scan starts at step
+        # 1 and prompt steps flow through the same compiled step (their
+        # sampled tokens are discarded by the write-guard). Long prompts
+        # (chunked generation carries ~3/4 of a chunk): one batched
+        # `prefill` forward writes all K/V in parallel and the scan starts
+        # at the first step containing the `start_offset` timestep —
+        # positions >= that hold garbage K/V from the padded prefill, but
+        # decode attends strictly below its own position, which the scan has
+        # rewritten by then.
+        start_step = 1
+        initial_cache = None
+        if start_offset > 0:
+            first_gen_step = pattern.get_first_step_with_timesteps(start_offset)
+            if first_gen_step is not None and first_gen_step > 16:
+                tok_in = jnp.tile(gen_seq, (2, 1, 1)) if use_cfg else gen_seq
+                # clamp UNKNOWN placeholders so the embedding gather reads a
+                # real row (those positions' K/V are never attended)
+                tok_in = jnp.maximum(tok_in, 0)
+                _, initial_cache = self.sampler.apply(
+                    {"params": params["sampler"]},
+                    tok_in,
+                    cond_seq,
+                    method=self.sampler.prefill,
+                )
+                start_step = first_gen_step
 
         gen_seq = self.generate_tokens(
             params,
@@ -525,7 +548,8 @@ class VauraSystem:
             rng,
             S=S,
             valid_mask=valid_mask,
-            start_step=1,
+            start_step=start_step,
+            initial_cache=initial_cache,
             use_sampling=use_sampling,
             temp=temp,
             top_k=top_k,
