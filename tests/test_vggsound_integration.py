@@ -1,0 +1,135 @@
+"""Family-A dataset integration test: synthesize tiny MP4s with the native
+media module, build split/meta files, and load through VggSoundDataset —
+covering the split/meta plumbing, fixed start points, ImageBind/insync
+filtering, and clip partitioning end to end."""
+
+import csv
+import json
+
+import numpy as np
+import pytest
+
+from vaura_tpu.data import media
+from vaura_tpu.data.vggsound import VggSoundDataModule, VggSoundDataset
+
+pytestmark = pytest.mark.skipif(
+    not media.available(), reason="native media module unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def vgg_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vgg")
+    data_dir = root / "videos"
+    data_dir.mkdir()
+    sr = 44100
+    rng = np.random.default_rng(0)
+    names = [f"clip{i}" for i in range(3)]
+    for i, name in enumerate(names):
+        n, h, w = 40, 64, 64  # 1.6 s at 25 fps
+        frames = rng.integers(0, 255, size=(n, h, w, 3), dtype=np.uint8)
+        audio = (rng.standard_normal(int(1.6 * sr)) * 0.1).astype(np.float32)
+        media.write_video(
+            data_dir / f"{name}.mp4", frames, fps=25.0, audio=audio,
+            audio_sample_rate=sr,
+        )
+    split_dir = root / "splits" / "vggsound"
+    split_dir.mkdir(parents=True)
+    for split in ("train", "test"):
+        (split_dir / f"vggsound_{split}.txt").write_text(
+            "\n".join(names) + "\n"
+        )
+    meta = root / "meta.csv"
+    with open(meta, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "start", "label"])
+        for i, name in enumerate(names):
+            w.writerow([name, 0, f"class_{i % 2}"])
+    # fixed start points for eval
+    fsp = root / "fixed.csv"
+    with open(fsp, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["filename", "start"])
+        w.writerow(["clip0.mp4", 0.2])
+    return {
+        "root": root,
+        "data": data_dir,
+        "splits": split_dir,
+        "meta": meta,
+        "fixed": fsp,
+        "names": names,
+    }
+
+
+def _dataset(vgg_root, split="train", **kw):
+    return VggSoundDataset(
+        split=split,
+        split_dir_path=vgg_root["splits"],
+        data_path=vgg_root["data"],
+        meta_path=vgg_root["meta"],
+        video_length=0.64,
+        sample_rate_audio=44100,
+        sample_rate_video=25.0,
+        frames_per_clip=16,
+        num_clips=1,
+        run_additional_checks=False,
+        seed=0,
+        **kw,
+    )
+
+
+def test_item_contract(vgg_root):
+    ds = _dataset(vgg_root)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["frames"].shape == (1, 3, 16, 64, 64)
+    assert item["frames"].dtype == np.float32
+    assert item["audio"].shape == (1, int(np.ceil(0.64 * 44100)))
+    assert item["meta"]["target"] in (0, 1)
+
+
+def test_fixed_start_pts(vgg_root):
+    ds = _dataset(vgg_root, split="test",
+                  fixed_start_pts_file_path=vgg_root["fixed"])
+    # clip0 has a pinned 0.2 s start
+    idx = [i for i, f in enumerate(ds.files) if f.stem == "clip0"][0]
+    item = ds[idx]
+    assert item["meta"]["start_pts"] == pytest.approx(0.2)
+
+
+def test_included_filter(vgg_root, tmp_path):
+    inc = tmp_path / "included.txt"
+    inc.write_text("clip1.mp4\n")
+    ds = _dataset(vgg_root, included_files_path=inc)
+    assert [f.stem for f in ds.files] == ["clip1"]
+
+
+def test_imagebind_filter(vgg_root, tmp_path):
+    scores = tmp_path / "ib.json"
+    scores.write_text(json.dumps({"clip0": 0.9, "clip1": 0.1, "clip2": 0.5}))
+    ds = _dataset(
+        vgg_root,
+        filter_by_imagebind_score=True,
+        imagebind_score_threshold=0.4,
+        imagebind_score_file_path=str(scores),
+    )
+    assert sorted(f.stem for f in ds.files) == ["clip0", "clip2"]
+
+
+def test_datamodule_batches(vgg_root):
+    dm = VggSoundDataModule(
+        batch_size=2,
+        data_dir=str(vgg_root["data"]),
+        split_dir=str(vgg_root["splits"]),
+        meta_file=str(vgg_root["meta"]),
+        video_length=0.64,
+        sample_rate_audio=44100,
+        frames_per_clip=16,
+        num_clips=1,
+        run_additional_checks=False,
+    )
+    dm.setup()
+    batch = next(iter(dm.train_dataloader()))
+    assert batch["frames"].shape == (2, 1, 3, 16, 64, 64)
+    assert batch["audio"].shape[0] == 2
+    assert len(batch["meta"]["filepath"]) == 2
