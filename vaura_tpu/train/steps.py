@@ -107,3 +107,22 @@ def batch_to_device(batch: dict, sharding=None) -> dict:
         else v
         for k, v in batch.items()
     }
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Double-buffer host batches onto device so H2D transfer overlaps the
+    previous step's compute (the torch-DataLoader pin_memory+overlap
+    equivalent). Yields device batches."""
+    import collections
+
+    queue = collections.deque()
+
+    def put(batch):
+        queue.append(batch_to_device(batch, sharding))
+
+    for batch in iterator:
+        put(batch)
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
