@@ -163,6 +163,11 @@ def generate(cfg: dict) -> dict:
             break
         try:
             frames = batch["frames"]
+            frame_step = int(cfg.get("frame_step", 1) or 1)
+            if frame_step > 1:
+                # temporal subsample within each segment
+                # (reference generate.py:311,345)
+                frames = frames[:, :, :, ::frame_step]
             rng, gen_rng = jax.random.split(rng)
             if duration <= model_max_duration:
                 item = system.generate(

@@ -356,6 +356,42 @@ class Trainer:
         self.tb.histogram(
             f"sampled_indices/{name}", np.asarray(out["codes"]).ravel(), step
         )
+        if self.model_cfg.get("return_attention_weights"):
+            # teacher-forced forward over the generated codes with sown
+            # attention probs -> per-step attention-row video (reference
+            # attention-weight videos, train_utils.py:204-255)
+            try:
+                from vaura_tpu.ops.patterns import DelayedPatternProvider
+                from vaura_tpu.utils.viz import attn_rows_to_video
+
+                codes = out["codes"]
+                pattern = self.system.pattern_provider.get_pattern(
+                    codes.shape[-1]
+                )
+                seq, _, _ = pattern.build_pattern_sequence(
+                    codes[:, :, :-1], self.system.special_token_id
+                )
+                vis_feats = self.system.visual_features(
+                    params, jax.numpy.asarray(frames), train=False
+                )
+                _, inter = self.system.sampler.apply(
+                    {"params": params["sampler"]},
+                    seq,
+                    vis_feats,
+                    False,
+                    mutable=["intermediates"],
+                )
+                # sown under layers -> stacked [L, ...]; take the last layer
+                probs = jax.tree.leaves(inter)[0]
+                attn = np.asarray(probs)[-1, 0]  # [S, S]
+                self.tb.video(
+                    f"s_attention_weights/{name}",
+                    attn_rows_to_video(attn),
+                    step,
+                    fps=10,
+                )
+            except Exception as e:
+                logger.warning("attention-video logging failed: %s", e)
 
     def test(self, params, frozen, datamodule, rng) -> Dict[str, float]:
         """Teacher-forced test loss (reference ``scripts/test.py:97-99``)."""
