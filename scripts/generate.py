@@ -186,8 +186,31 @@ def generate(cfg: dict) -> dict:
             audio = np.asarray(item["audio"])
             for i in range(audio.shape[0]):
                 fn = Path(batch["meta"]["filepath"][i]).name
+                orig_frames = None
+                if cfg.get("save_video", True):
+                    # re-read the source video so the mux carries original
+                    # pixels (reference get_original_data,
+                    # generate.py:279-285,464-520)
+                    try:
+                        from vaura_tpu.data import media
+
+                        start = batch["meta"].get("start_pts")
+                        start = (
+                            float(np.asarray(start)[i])
+                            if start is not None
+                            else 0.0
+                        )
+                        orig_frames, _, _ = media.read_video(
+                            batch["meta"]["filepath"][i],
+                            start=start,
+                            duration=duration,
+                            fps=vfps,
+                            want_audio=False,
+                        )
+                    except Exception as e:
+                        logger.debug("original reload failed for %s: %s", fn, e)
                 save_results(
-                    audio[i], None, out_dir, fn,
+                    audio[i], orig_frames, out_dir, fn,
                     v_fps=vfps, a_fps=system.dac_config.sample_rate,
                     audio_norm_strategy=audio_norm_strategy,
                 )
