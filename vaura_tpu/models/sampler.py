@@ -73,6 +73,7 @@ class SamplerConfig:
     dac_factored_embeddings: bool = True
     use_visual_conditioning: bool = True
     use_pallas_decode: bool = False  # Pallas bounded-read decode attention
+    remat: bool = False  # rematerialize blocks (activation memory ~/L)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -309,8 +310,8 @@ class TransformerBlock(nn.Module):
     config: SamplerConfig
 
     @nn.compact
-    def __call__(self, x, broadcast_in, cache_layer):
-        freqs_cis, mask, pos, train, mode = broadcast_in
+    def __call__(self, x, broadcast_in, cache_layer, train, mode):
+        freqs_cis, mask, pos = broadcast_in
         cfg = self.config
         attn_out, (k_new, v_new) = Attention(cfg, name="attention")(
             RMSNorm(cfg.d_model, cfg.layer_norm_eps, name="attention_norm")(x),
@@ -517,11 +518,16 @@ class Sampler(nn.Module):
             (cfg.cond_dim,),
             cfg.param_dtype,
         )
+        block_def = (
+            nn.remat(TransformerBlock, static_argnums=(4, 5))
+            if cfg.remat
+            else TransformerBlock
+        )
         block = nn.scan(
-            TransformerBlock,
+            block_def,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=(nn.broadcast, 0),
+            in_axes=(nn.broadcast, 0, nn.broadcast, nn.broadcast),
             out_axes=0,
             length=cfg.num_layers,
         )
@@ -557,7 +563,7 @@ class Sampler(nn.Module):
                 dtype=cfg.dtype,
             )
             cache = (empty, empty)
-        h, ys = self.layers(h, (freqs_cis, mask, pos, train, mode), cache)
+        h, ys = self.layers(h, (freqs_cis, mask, pos), cache, train, mode)
         return h, ys
 
     def _logits(self, h: jax.Array) -> jax.Array:
