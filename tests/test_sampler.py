@@ -170,3 +170,23 @@ def test_cfg_dropout_changes_cond(setup):
         method=model2.uncond_cond_emb,
     )
     np.testing.assert_allclose(np.asarray(emb), np.asarray(uncond), atol=1e-5)
+
+
+def test_quantized_decode_close_to_float(setup):
+    """int8 weight-only decode must track the float path closely (the
+    sampling distribution is logit-level; require small max deviation)."""
+    import dataclasses
+
+    from vaura_tpu.ops.quantization import quantize_sampler_params
+
+    model, params, tokens, cond = setup
+    params = _nonzero_head(params)
+    full = model.apply({"params": params}, tokens, cond, False)
+
+    qcfg = dataclasses.replace(TINY, quantize_weights=True)
+    qmodel = Sampler(qcfg)
+    qparams = quantize_sampler_params(params)
+    qfull = qmodel.apply({"params": qparams}, tokens, cond, False)
+    err = np.abs(np.asarray(full) - np.asarray(qfull)).max()
+    scale = np.abs(np.asarray(full)).max()
+    assert err < 0.05 * max(scale, 1.0), (err, scale)

@@ -74,6 +74,7 @@ class SamplerConfig:
     use_visual_conditioning: bool = True
     use_pallas_decode: bool = False  # Pallas bounded-read decode attention
     remat: bool = False  # rematerialize blocks (activation memory ~/L)
+    quantize_weights: bool = False  # int8 weight-only matmuls (inference)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -146,6 +147,38 @@ def SamplerSpec(**kwargs) -> SamplerConfig:
 # --------------------------------------------------------------------- #
 # building blocks
 # --------------------------------------------------------------------- #
+class PDense(nn.Module):
+    """Bias-free dense with a param layout stable across precision modes:
+    ``kernel`` (float) normally, or ``kernel_q``+``scale`` (int8 weight-only,
+    see ``vaura_tpu.ops.quantization``) when ``config.quantize_weights``.
+    Replaces ``nn.Dense`` for the decoder's big matmuls so quantized
+    inference keeps identical tree paths."""
+
+    features: int
+    config: SamplerConfig
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        if cfg.quantize_weights:
+            from vaura_tpu.ops.quantization import quant_dense
+
+            q = self.param(
+                "kernel_q", nn.initializers.zeros,
+                (x.shape[-1], self.features), jnp.int8,
+            )
+            s = self.param(
+                "scale", nn.initializers.ones, (self.features,), jnp.float32
+            )
+            return quant_dense(x.astype(cfg.dtype), {"kernel_q": q, "scale": s})
+        init = self.kernel_init or nn.initializers.normal(cfg.initializer_range)
+        kernel = self.param(
+            "kernel", init, (x.shape[-1], self.features), cfg.param_dtype
+        )
+        return jnp.dot(x.astype(cfg.dtype), kernel.astype(cfg.dtype))
+
+
 class RMSNorm(nn.Module):
     """Root-mean-square norm in float32 (reference ``llama.py:147-158``)."""
 
@@ -168,15 +201,7 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         cfg = self.config
-        init = nn.initializers.normal(cfg.initializer_range)
-        dense = lambda feats, name: nn.Dense(
-            feats,
-            use_bias=False,
-            kernel_init=init,
-            dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
-            name=name,
-        )
+        dense = lambda feats, name: PDense(feats, cfg, name=name)
         h = jax.nn.silu(dense(cfg.ffn_hidden_dim, "w1")(x)) * dense(
             cfg.ffn_hidden_dim, "w3"
         )(x)
@@ -212,15 +237,7 @@ class Attention(nn.Module):
         cfg = self.config
         B, S, _ = x.shape
         kv_dim = cfg.n_kv_heads * cfg.head_dim
-        init = nn.initializers.normal(cfg.initializer_range)
-        qkv = nn.Dense(
-            cfg.d_model + 2 * kv_dim,
-            use_bias=False,
-            kernel_init=init,
-            dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
-            name="wqkv",
-        )(x)
+        qkv = PDense(cfg.d_model + 2 * kv_dim, cfg, name="wqkv")(x)
         q, k, v = jnp.split(qkv, [cfg.d_model, cfg.d_model + kv_dim], axis=-1)
         q = q.reshape(B, S, cfg.nhead, cfg.head_dim)
         k = k.reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
@@ -286,14 +303,7 @@ class Attention(nn.Module):
                 "bhst,bthd->bshd", probs.astype(values.dtype), values
             ).reshape(B, S, cfg.d_model)
 
-        out = nn.Dense(
-            cfg.d_model,
-            use_bias=False,
-            kernel_init=init,
-            dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
-            name="wo",
-        )(out.astype(cfg.dtype))
+        out = PDense(cfg.d_model, cfg, name="wo")(out.astype(cfg.dtype))
         out = nn.Dropout(cfg.dropout, deterministic=not train)(out)
         return out, (k, v)
 
@@ -535,12 +545,10 @@ class Sampler(nn.Module):
         self.tok_dropout = nn.Dropout(cfg.dropout)
         self.norm = RMSNorm(cfg.d_model, cfg.layer_norm_eps, name="norm")
         # fused per-codebook heads, zero-init (reference llama.py:356-361,384-385)
-        self.lm_head = nn.Dense(
+        self.lm_head = PDense(
             cfg.num_codebooks * cfg.d_codebook,
-            use_bias=False,
+            cfg,
             kernel_init=nn.initializers.zeros,
-            dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
             name="lm_head",
         )
 
