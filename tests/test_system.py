@@ -252,3 +252,13 @@ def test_prefill_prompt_path_matches_scan(system):
     codes_ref, _, _ = pattern.revert_pattern_sequence(gen_seq, -1)
     codes_ref = np.asarray(codes_ref)[..., :40]
     np.testing.assert_array_equal(np.asarray(out_fast["codes"]), codes_ref)
+
+
+def test_generate_check_mode(system):
+    sys_, params = system
+    frames = _batch(B=1)["frames"]
+    out = sys_.generate(
+        params, frames, jax.random.PRNGKey(3), max_new_tokens=10, top_k=4,
+        decode_to_audio=False, check=True,
+    )
+    assert out["codes"].shape == (1, 3, 10)

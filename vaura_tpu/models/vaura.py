@@ -481,6 +481,7 @@ class VauraSystem:
         remove_prompts: bool = False,
         vis_feats: Optional[jax.Array] = None,
         decode_to_audio: bool = True,
+        check: bool = False,
     ) -> Dict[str, jax.Array]:
         """Full generation pipeline (reference ``VAURAModel.generate``,
         ``vaura_model.py:410-597``). Returns dict with ``codes`` and
@@ -557,8 +558,21 @@ class VauraSystem:
             cfg_scale=cfg_scale,
         )
 
+        if check:
+            # post-hoc coherence checks (reference vaura_model.py:508-515,
+            # 549-572): sequence fully materialized and mask-consistent
+            seq_np = np.asarray(gen_seq)
+            mask_np = np.asarray(valid_mask)[None]
+            assert not (seq_np == UNKNOWN_TOKEN).any(), "unfilled positions"
+            assert (
+                seq_np == np.where(mask_np, seq_np, self.special_token_id)
+            ).all(), "sequence/mask mismatch"
+
         out_codes, _, _ = pattern.revert_pattern_sequence(gen_seq, UNKNOWN_TOKEN)
         out_codes = out_codes[..., :max_new_tokens]
+        if check:
+            c = np.asarray(out_codes)
+            assert (c >= 0).all() and (c <= self.special_token_id).all()
         if remove_prompts:
             out_codes = out_codes[..., start_offset:]
         result: Dict[str, jax.Array] = {"codes": out_codes}
