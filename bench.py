@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--cfg-scale", type=float, default=6.0)
     ap.add_argument("--top-k", type=int, default=128)
     ap.add_argument("--no-dac", action="store_true", help="skip waveform decode")
+    ap.add_argument(
+        "--int8", action="store_true",
+        help="int8 weight-only decoder (fastest; logits deviate <1e-2)",
+    )
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -113,6 +117,24 @@ def main() -> None:
 
     # bf16 weights for inference: halves the per-step HBM weight streaming
     params = cast_floats(params, jnp.bfloat16)
+    if args.int8:
+        from vaura_tpu.models.vaura import VauraSystem as _VS
+        from vaura_tpu.ops.quantization import quantize_sampler_params
+
+        sampler_cfg = dataclasses.replace(sampler_cfg, quantize_weights=True)
+        system = _VS(
+            sampler_config=sampler_cfg,
+            dac_config=dac_cfg,
+            encoder_config=None,
+            use_visual_conditioning=False,
+        )
+        params = {
+            "sampler": cast_floats(
+                quantize_sampler_params(jax.device_get(sam_params)),
+                jnp.bfloat16,
+            ),
+            "dac": params["dac"],
+        }
 
     # warmup / compile (np.asarray forces a host sync — block_until_ready
     # can return early under remote-execution PJRT relays)
