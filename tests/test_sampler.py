@@ -190,3 +190,38 @@ def test_quantized_decode_close_to_float(setup):
     err = np.abs(np.asarray(full) - np.asarray(qfull)).max()
     scale = np.abs(np.asarray(full)).max()
     assert err < 0.05 * max(scale, 1.0), (err, scale)
+
+
+def test_quantized_cache_decode_close_to_float(setup):
+    """int8 KV cache decode must track the float-cache decode closely."""
+    import dataclasses
+
+    model, params, tokens, cond = setup
+    params = _nonzero_head(params)
+    B, K, S = tokens.shape
+    tpf = default_tokens_per_frame(S, cond.shape[1], K)
+    cond_emb = model.apply({"params": params}, cond, False, method=model.embed_cond)
+    cond_seq = model.apply(
+        {"params": params}, cond_emb, S, tpf, method=model.build_cond_seq
+    )
+
+    def run(m):
+        cache = m.apply({"params": params}, B, S, method=m.init_cache)
+        outs = []
+        for s in range(S):
+            logits_s, cache = m.apply(
+                {"params": params},
+                tokens[:, :, s : s + 1],
+                cond_seq[:, s : s + 1],
+                cache,
+                jnp.int32(s),
+                method=m.decode_step,
+            )
+            outs.append(np.asarray(logits_s))
+        return np.stack(outs, axis=2)
+
+    ref = run(model)
+    qmodel = Sampler(dataclasses.replace(TINY, quantize_cache=True))
+    got = run(qmodel)
+    err = np.abs(ref - got).max()
+    assert err < 0.02 * max(np.abs(ref).max(), 1.0), err

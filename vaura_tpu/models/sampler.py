@@ -75,6 +75,7 @@ class SamplerConfig:
     use_pallas_decode: bool = False  # Pallas bounded-read decode attention
     remat: bool = False  # rematerialize blocks (activation memory ~/L)
     quantize_weights: bool = False  # int8 weight-only matmuls (inference)
+    quantize_cache: bool = False  # int8 KV cache (halves decode cache reads)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -248,7 +249,8 @@ class Attention(nn.Module):
         scale = 1.0 / math.sqrt(cfg.head_dim)
         rep = cfg.nhead // cfg.n_kv_heads
 
-        if cache_kv is not None and cfg.use_pallas_decode and rep == 1:
+        if (cache_kv is not None and cfg.use_pallas_decode and rep == 1
+                and not cfg.quantize_cache):
             # Pallas kernel: DMAs exactly ceil(pos/BLOCK) cache blocks
             from vaura_tpu.ops.pallas_attention import decode_attention
 
@@ -258,7 +260,13 @@ class Attention(nn.Module):
             ).reshape(B, S, cfg.d_model)
         elif cache_kv is not None:
             # decode: S == 1. Attend over cache[<pos] + current k/v.
-            ck, cv = cache_kv  # [B, S_max, n_kv, hd]
+            if cfg.quantize_cache:
+                # int8 cache: per-(position, head) scales fold outside the
+                # dots, so the matmuls read int8 directly
+                ck, cv, ck_s, cv_s = cache_kv  # [B,S,H,hd] i8 + [B,S,H] f32
+            else:
+                ck, cv = cache_kv  # [B, S_max, n_kv, hd]
+                ck_s = cv_s = None
             S_max = ck.shape[1]
             keys, values = ck, cv
             k_cur, v_cur = k, v
@@ -267,10 +275,15 @@ class Attention(nn.Module):
                 values = jnp.repeat(values, rep, axis=2)
                 k_cur = jnp.repeat(k_cur, rep, axis=2)
                 v_cur = jnp.repeat(v_cur, rep, axis=2)
+                if ck_s is not None:
+                    ck_s = jnp.repeat(ck_s, rep, axis=2)
+                    cv_s = jnp.repeat(cv_s, rep, axis=2)
             scores_c = jnp.einsum(
                 "bshd,bthd->bhst", q, keys.astype(q.dtype),
                 preferred_element_type=jnp.float32,
             ) * scale  # [B, H, 1, S_max]
+            if ck_s is not None:
+                scores_c = scores_c * jnp.transpose(ck_s, (0, 2, 1))[:, :, None, :]
             valid = (jnp.arange(S_max) < pos)[None, None, None, :]
             scores_c = jnp.where(valid, scores_c, -1e30)
             scores_s = jnp.einsum(
@@ -278,10 +291,13 @@ class Attention(nn.Module):
             ) * scale  # [B, H, 1, 1]
             scores = jnp.concatenate([scores_c, scores_s], axis=-1)
             probs = jax.nn.softmax(scores, axis=-1)
+            p_cache = probs[..., :S_max]
+            if cv_s is not None:
+                p_cache = p_cache * jnp.transpose(cv_s, (0, 2, 1))[:, :, None, :]
             out = jnp.einsum(
                 "bhst,bthd->bshd",
-                probs[..., :S_max].astype(values.dtype),
-                values,
+                p_cache.astype(cfg.dtype),
+                values.astype(cfg.dtype),
             ) + jnp.einsum(
                 "bhst,bthd->bshd", probs[..., S_max:].astype(v_cur.dtype), v_cur
             )
@@ -628,7 +644,19 @@ class Sampler(nn.Module):
         cfg = self.config
         dtype = dtype or cfg.dtype
         shape = (cfg.num_layers, batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
+        if cfg.quantize_cache:
+            return {
+                "k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+                "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+            }
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+    def _cache_tuple(self, cache: Dict[str, jax.Array]):
+        if self.config.quantize_cache:
+            return (cache["k"], cache["v"], cache["k_scale"], cache["v_scale"])
+        return (cache["k"], cache["v"])
 
     def prefill(
         self,
@@ -649,6 +677,14 @@ class Sampler(nn.Module):
             h, freqs_cis, mask, None, jnp.int32(0), False, "prefill"
         )
         k_full, v_full = ys  # [L, B, S, n_kv, hd]
+        if cfg.quantize_cache:
+            from vaura_tpu.ops.quantization import quantize_kv
+
+            kq, ks = quantize_kv(k_full)
+            vq, vs = quantize_kv(v_full)
+            return self._logits(h), {
+                "k": kq, "v": vq, "k_scale": ks, "v_scale": vs,
+            }
         return self._logits(h), {
             "k": k_full.astype(cfg.dtype),
             "v": v_full.astype(cfg.dtype),
@@ -678,21 +714,40 @@ class Sampler(nn.Module):
         freqs_cis = jax.lax.dynamic_slice(
             self._freqs(), (pos, 0, 0), (1, cfg.head_dim // 2, 2)
         )
-        ck, cv = cache["k"], cache["v"]
-        if key_len is not None and key_len < ck.shape[2]:
-            ck = ck[:, :, :key_len]
-            cv = cv[:, :, :key_len]
+        cache_in = self._cache_tuple(cache)
+        if key_len is not None and key_len < cache_in[0].shape[2]:
+            cache_in = tuple(t[:, :, :key_len] for t in cache_in)
         h, ys = self._run_blocks(
-            h, freqs_cis, None, (ck, cv), pos, False, "decode"
+            h, freqs_cis, None, cache_in, pos, False, "decode"
         )
         k_cur, v_cur = ys  # [L, B, 1, n_kv, hd]
-        new_cache = {
-            "k": jax.lax.dynamic_update_slice(
-                cache["k"], k_cur.astype(cache["k"].dtype), (0, 0, pos, 0, 0)
-            ),
-            "v": jax.lax.dynamic_update_slice(
-                cache["v"], v_cur.astype(cache["v"].dtype), (0, 0, pos, 0, 0)
-            ),
-        }
+        if cfg.quantize_cache:
+            from vaura_tpu.ops.quantization import quantize_kv
+
+            kq, ks = quantize_kv(k_cur)
+            vq, vs = quantize_kv(v_cur)
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], kq, (0, 0, pos, 0, 0)
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], vq, (0, 0, pos, 0, 0)
+                ),
+                "k_scale": jax.lax.dynamic_update_slice(
+                    cache["k_scale"], ks, (0, 0, pos, 0)
+                ),
+                "v_scale": jax.lax.dynamic_update_slice(
+                    cache["v_scale"], vs, (0, 0, pos, 0)
+                ),
+            }
+        else:
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], k_cur.astype(cache["k"].dtype), (0, 0, pos, 0, 0)
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], v_cur.astype(cache["v"].dtype), (0, 0, pos, 0, 0)
+                ),
+            }
         logits = self._logits(h)  # [B, K, 1, vocab]
         return logits[:, :, 0, :], new_cache

@@ -72,3 +72,16 @@ def quant_dense(x: jax.Array, params: Dict[str, jax.Array]) -> jax.Array:
         x, q.astype(x.dtype), preferred_element_type=jnp.float32
     )
     return (y * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def quantize_kv(x: jax.Array) -> tuple:
+    """Symmetric int8 over the last axis (head_dim): returns
+    ``(q int8, scale f32[..., ])`` with ``x ~ q * scale[..., None]``.
+    Used for KV-cache quantization — the per-(position, head) scale folds
+    outside the attention dots (scores *= k_scale; probs *= v_scale), so
+    both matmuls run on the upcast int8 directly."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
