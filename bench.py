@@ -121,7 +121,9 @@ def main() -> None:
         from vaura_tpu.models.vaura import VauraSystem as _VS
         from vaura_tpu.ops.quantization import quantize_sampler_params
 
-        sampler_cfg = dataclasses.replace(sampler_cfg, quantize_weights=True)
+        sampler_cfg = dataclasses.replace(
+            sampler_cfg, quantize_weights=True, quantize_cache=True
+        )
         system = _VS(
             sampler_config=sampler_cfg,
             dac_config=dac_cfg,
