@@ -59,7 +59,11 @@ def main(argv=None) -> int:
             "the eval tooling at the output directory."
         )
     elif action == "finetune":
-        raise NotImplementedError("finetune is not implemented")
+        # goes beyond the reference, which raises NotImplementedError here
+        # (reference main.py:114-115)
+        from scripts.finetune import finetune
+
+        finetune(cfg)
     else:
         raise ValueError(f"Unknown action {action!r}")
     return 0

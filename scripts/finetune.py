@@ -1,0 +1,119 @@
+"""Finetune action: continue training from a converted checkpoint.
+
+The reference leaves this unimplemented (``main.py:114-115`` raises
+NotImplementedError; ``scripts/test.py`` carries vestigial LoRA kwargs).
+Here: load pretrained weights (a tree from
+``scripts/convert_checkpoints.py`` or a training run's checkpoint), reset
+the optimizer, optionally unfreeze the visual encoder, and run the normal
+training loop.
+
+Config: ``finetune.init_from`` (path), ``finetune.unfreeze_encoder``
+(bool). Everything else follows the train action.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import jax
+
+from vaura_tpu.data import get_datamodule_from_type
+from vaura_tpu.models.factory import build_system, maybe_load_pretrained
+from vaura_tpu.train.checkpoint import abstract_like
+from vaura_tpu.train.loop import Trainer
+from vaura_tpu.utils.experiment import init_log_directory, save_hparams
+from vaura_tpu.utils.seeding import seed_everything
+
+logger = logging.getLogger(__name__)
+
+
+def finetune(cfg: dict) -> dict:
+    logging.basicConfig(level=logging.INFO)
+    logging.getLogger().setLevel(logging.INFO)
+    trainer_cfg = cfg["trainer"]
+    model_cfg = dict(cfg["model"])
+    ft_cfg = cfg.get("finetune") or {}
+    if ft_cfg.get("unfreeze_encoder"):
+        model_cfg["freeze_feature_extractor"] = False
+
+    dirs = init_log_directory(
+        trainer_cfg.get("log_dir", "./logs"),
+        trainer_cfg.get("experiment_name", "finetune"),
+    )
+    save_hparams(dirs["experiment"], cfg)
+
+    datamodule = get_datamodule_from_type(
+        cfg["dataloader"]["dataset_type"], cfg["dataloader"]
+    )
+    datamodule.setup()
+
+    system = build_system(model_cfg, precision=trainer_cfg.get("precision"))
+    rng = seed_everything(int(trainer_cfg.get("seed", 666)))
+    rng, init_rng = jax.random.split(rng)
+    params = system.init_params(init_rng)
+    params = maybe_load_pretrained(params, model_cfg)
+    params = system.load_dac_embeddings_into_sampler(params)
+
+    init_from = ft_cfg.get("init_from")
+    if init_from:
+        import orbax.checkpoint as ocp
+
+        from vaura_tpu.train.state import (
+            TrainState,
+            build_schedule,
+            make_optimizer,
+        )
+        from vaura_tpu.train.steps import split_params
+
+        ckptr = ocp.StandardCheckpointer()
+        path = Path(init_from).resolve()
+        if path.is_symlink():
+            path = (path.parent / path.readlink()).resolve()
+        try:
+            # converted-checkpoint tree ({sampler, dac, encoder})
+            loaded = ckptr.restore(path, abstract_like(params))
+            params.update({k: v for k, v in loaded.items() if v is not None})
+        except Exception:
+            # training checkpoint {params, opt_state, step}: rebuild the
+            # matching optimizer-state skeleton, restore, keep params only
+            trainable, _ = split_params(system, params)
+            skeleton = TrainState.create(
+                trainable,
+                make_optimizer(
+                    build_schedule(
+                        model_cfg.get("lr_scheduler"),
+                        float(model_cfg.get("learning_rate", 1e-3)),
+                    ),
+                    weight_decay=float(model_cfg.get("weight_decay", 0.0)),
+                    betas=tuple(model_cfg.get("betas", (0.9, 0.95))),
+                    gradient_clip_val=trainer_cfg.get("gradient_clip_val", 1.0),
+                    gradient_clip_algorithm=trainer_cfg.get(
+                        "gradient_clip_algorithm", "value"
+                    ),
+                    accumulate_grad_batches=int(
+                        trainer_cfg.get("accumulate_grad_batches", 1) or 1
+                    ),
+                ),
+            )
+            loaded = ckptr.restore(
+                path,
+                {
+                    "params": abstract_like(skeleton.params),
+                    "opt_state": abstract_like(skeleton.opt_state),
+                    "step": abstract_like(skeleton.step),
+                },
+            )
+            params.update(loaded["params"])
+        logger.info("finetuning from %s", init_from)
+    else:
+        logger.warning("finetune.init_from not set: training from scratch")
+
+    trainer = Trainer(system, trainer_cfg, model_cfg, dirs)
+    result = trainer.fit(params, datamodule, rng)
+    rng, test_rng = jax.random.split(result["rng"])
+    metrics = trainer.test(
+        result["state"].params, result["frozen"], datamodule, test_rng
+    )
+    logger.info("finetune test: %s", metrics)
+    return {"dirs": dirs, "metrics": metrics}

@@ -127,6 +127,22 @@ def generate(cfg: dict) -> dict:
     from vaura_tpu.utils import cast_floats
 
     params = cast_floats(params, jnp.bfloat16)
+    if cfg.get("quantize"):
+        # int8 weight-only decoder + int8 KV cache (fastest; logits deviate
+        # by <1e-2 relative — see ops/quantization.py)
+        import dataclasses as _dc
+
+        from vaura_tpu.ops.quantization import quantize_sampler_params
+
+        params = dict(params)
+        params["sampler"] = quantize_sampler_params(
+            jax.device_get(params["sampler"])
+        )
+        system.sampler_config = _dc.replace(
+            system.sampler_config, quantize_weights=True, quantize_cache=True
+        )
+        system.__post_init__()
+        logger.info("int8 weight + KV-cache quantization enabled")
 
     if model_max_duration is None:
         model_max_duration = (

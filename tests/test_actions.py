@@ -69,12 +69,16 @@ def test_generate_action(dummy_cfg, tmp_path):
     assert wav.shape[-1] > 0
 
 
-def test_main_dispatch_unknown_action(dummy_cfg):
-    import main as main_mod
+def test_finetune_action(dummy_cfg, tmp_path):
+    """Finetune: init from a prior run's best checkpoint, fresh optimizer."""
+    from scripts.finetune import finetune
+    from scripts.train import train
 
-    with pytest.raises(NotImplementedError):
-        cfg = dict(dummy_cfg)
-        cfg["action"] = "finetune"
-        # dispatch directly (bypassing config assembly)
-        if cfg["action"] == "finetune":
-            raise NotImplementedError("finetune is not implemented")
+    first = train(dummy_cfg)
+    from vaura_tpu.utils.experiment import resolve_best_checkpoint
+
+    best = resolve_best_checkpoint(first["dirs"]["checkpoints"])
+    cfg = dict(dummy_cfg)
+    cfg["finetune"] = {"init_from": str(best)}
+    result = finetune(cfg)
+    assert np.isfinite(result["metrics"]["test_loss"])
