@@ -39,9 +39,11 @@ def main() -> None:
     ap.add_argument("--top-k", type=int, default=128)
     ap.add_argument("--no-dac", action="store_true", help="skip waveform decode")
     ap.add_argument(
-        "--int8", action="store_true",
-        help="int8 weight-only decoder (fastest; logits deviate <1e-2)",
+        "--int8", dest="int8", action="store_true", default=True,
+        help="int8 weight-only decoder + int8 KV cache (default; logits "
+             "deviate <1e-2 relative from bf16)",
     )
+    ap.add_argument("--no-int8", dest="int8", action="store_false")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 

@@ -168,6 +168,28 @@ def generate(cfg: dict) -> dict:
         "validation": datamodule.val_dataloader,
     }[split]()
 
+    # multi-chip batched generation: shard the batch over a data mesh and
+    # replicate params (the 'VisualSound test split on v5e-8' config,
+    # BASELINE.json). Params could also be fsdp-sharded via
+    # vaura_tpu.parallel.partitioning for bigger models.
+    batch_sharding = None
+    if jax.device_count() > 1:
+        bs = int(cfg["dataloader"].get("batch_size", 1))
+        if bs % jax.device_count() == 0:
+            from vaura_tpu.parallel.mesh import batch_sharding as _bs, make_mesh
+
+            mesh = make_mesh(data=-1, fsdp=1, model=1)
+            batch_sharding = _bs(mesh)
+            from vaura_tpu.parallel.partitioning import param_shardings
+
+            params = jax.tree.map(
+                jax.device_put, params, param_shardings(mesh, params)
+            )
+            logger.info(
+                "sharding generation batch %d over %d devices",
+                bs, jax.device_count(),
+            )
+
     sampling = dict(
         use_sampling=use_sampling, temp=temp, top_k=top_k, top_p=top_p,
         cfg_scale=cfg_scale,
@@ -184,6 +206,8 @@ def generate(cfg: dict) -> dict:
                 # temporal subsample within each segment
                 # (reference generate.py:311,345)
                 frames = frames[:, :, :, ::frame_step]
+            if batch_sharding is not None:
+                frames = jax.device_put(np.asarray(frames), batch_sharding)
             rng, gen_rng = jax.random.split(rng)
             if duration <= model_max_duration:
                 item = system.generate(
