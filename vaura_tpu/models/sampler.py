@@ -76,6 +76,7 @@ class SamplerConfig:
     remat: bool = False  # rematerialize blocks (activation memory ~/L)
     quantize_weights: bool = False  # int8 weight-only matmuls (inference)
     quantize_cache: bool = False  # int8 KV cache (halves decode cache reads)
+    scan_unroll: int = 1  # unroll factor for the layer scan (perf knob)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -556,6 +557,7 @@ class Sampler(nn.Module):
             in_axes=(nn.broadcast, 0, nn.broadcast, nn.broadcast),
             out_axes=0,
             length=cfg.num_layers,
+            unroll=cfg.scan_unroll,
         )
         self.layers = block(cfg, name="layers")
         self.tok_dropout = nn.Dropout(cfg.dropout)
