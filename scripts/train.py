@@ -77,7 +77,8 @@ def train(cfg: dict) -> dict:
              "step": abstract_like(state.step)}
         )
         best_params = best["params"]
-    except AssertionError:
+    except Exception as e:  # no ckpt / slow or failed restore: test in-memory
+        logger.warning("best-ckpt restore failed (%s); testing current params", e)
         best_params = state.params
     rng, test_rng = jax.random.split(result["rng"])
     metrics = trainer.test(best_params, result["frozen"], datamodule, test_rng)
