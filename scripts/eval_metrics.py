@@ -1,0 +1,115 @@
+"""Objective audio metrics over generated clips.
+
+The reference delegates evaluation (FAD/KLD/sync) to an external framework
+(reference ``README.md:93``, ``main.py:109-111``); this tool provides the
+in-repo objective metrics that don't need pretrained embedding models:
+
+  * multi-scale log-mel spectrogram distance (generated vs reference wav)
+  * SI-SNR
+  * loudness (LUFS) delta
+
+Usage::
+
+    python scripts/eval_metrics.py GENERATED_DIR REFERENCE_DIR [--out report.json]
+
+Pairs files by basename (``<stem>.wav``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+from scipy import signal as _signal
+
+from vaura_tpu.ops.audio import integrated_loudness, read_wav, resample_poly
+
+logger = logging.getLogger(__name__)
+
+
+def log_mel(wav: np.ndarray, sr: int, n_fft: int, n_mels: int = 64) -> np.ndarray:
+    f, t, spec = _signal.stft(wav, fs=sr, nperseg=n_fft, noverlap=n_fft * 3 // 4)
+    power = np.abs(spec) ** 2
+    # triangular mel filterbank
+    mel_f = 2595 * np.log10(1 + f / 700)
+    mel_pts = np.linspace(mel_f.min(), mel_f.max(), n_mels + 2)
+    fb = np.zeros((n_mels, len(f)))
+    for m in range(n_mels):
+        lo, mid, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
+        up = (mel_f - lo) / max(mid - lo, 1e-9)
+        down = (hi - mel_f) / max(hi - mid, 1e-9)
+        fb[m] = np.clip(np.minimum(up, down), 0, 1)
+    mel = fb @ power
+    return np.log(mel + 1e-8)
+
+
+def spectral_distance(a: np.ndarray, b: np.ndarray, sr: int) -> float:
+    """Multi-scale log-mel L1 (the melspec term of AudioCraft-style
+    reconstruction metrics)."""
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    dists = []
+    for n_fft in (512, 1024, 2048):
+        ma, mb = log_mel(a, sr, n_fft), log_mel(b, sr, n_fft)
+        tmin = min(ma.shape[1], mb.shape[1])
+        dists.append(float(np.mean(np.abs(ma[:, :tmin] - mb[:, :tmin]))))
+    return float(np.mean(dists))
+
+
+def si_snr(est: np.ndarray, ref: np.ndarray) -> float:
+    n = min(len(est), len(ref))
+    est, ref = est[:n] - est[:n].mean(), ref[:n] - ref[:n].mean()
+    s = (np.dot(est, ref) / (np.dot(ref, ref) + 1e-9)) * ref
+    e = est - s
+    return float(10 * np.log10((np.dot(s, s) + 1e-9) / (np.dot(e, e) + 1e-9)))
+
+
+def evaluate_pair(gen_path: Path, ref_path: Path) -> dict:
+    g, gsr = read_wav(gen_path)
+    r, rsr = read_wav(ref_path)
+    g, r = g[0], r[0]
+    if gsr != rsr:
+        r = resample_poly(r, rsr, gsr)
+    return {
+        "melspec_l1": spectral_distance(g, r, gsr),
+        "si_snr_db": si_snr(g, r),
+        "loudness_delta_lufs": float(
+            integrated_loudness(g, gsr) - integrated_loudness(r, gsr)
+        ),
+    }
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("generated_dir", type=Path)
+    ap.add_argument("reference_dir", type=Path)
+    ap.add_argument("--out", type=Path, default=None)
+    args = ap.parse_args()
+
+    results = {}
+    for gen in sorted(args.generated_dir.glob("*.wav")):
+        ref = args.reference_dir / gen.name
+        if not ref.exists():
+            logger.warning("no reference for %s", gen.name)
+            continue
+        results[gen.stem] = evaluate_pair(gen, ref)
+    if not results:
+        logger.error("no pairs evaluated")
+        return
+    agg = {
+        key: float(np.mean([r[key] for r in results.values()]))
+        for key in next(iter(results.values()))
+    }
+    report = {"per_file": results, "mean": agg, "n": len(results)}
+    print(json.dumps(agg, indent=2))
+    if args.out:
+        args.out.write_text(json.dumps(report, indent=2))
+        logger.info("wrote %s", args.out)
+
+
+if __name__ == "__main__":
+    main()

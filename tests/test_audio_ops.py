@@ -77,3 +77,25 @@ def test_wav_roundtrip(tmp_path):
     back, sr = read_wav(path)
     assert sr == 44100
     np.testing.assert_allclose(back, wav, atol=1e-3)
+
+
+def test_eval_metrics_pair(tmp_path):
+    """eval_metrics: identical files score ~perfect; noise scores worse."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from scripts.eval_metrics import evaluate_pair
+
+    wav = sine(seconds=1.0)
+    write_wav(tmp_path / "a.wav", wav[None], 44100)
+    write_wav(tmp_path / "b.wav", wav[None], 44100)
+    same = evaluate_pair(tmp_path / "a.wav", tmp_path / "b.wav")
+    assert same["si_snr_db"] > 30
+    assert same["melspec_l1"] < 0.05
+    noise = (np.random.default_rng(0).standard_normal(len(wav)) * 0.3).astype(
+        np.float32
+    )
+    write_wav(tmp_path / "c.wav", noise[None], 44100)
+    diff = evaluate_pair(tmp_path / "c.wav", tmp_path / "a.wav")
+    assert diff["si_snr_db"] < 0
+    assert diff["melspec_l1"] > same["melspec_l1"]

@@ -124,7 +124,7 @@ class Trainer:
             )
 
         base_lr = float(self.model_cfg.get("learning_rate", 1e-3))
-        if cfg.get("scale_lr_with_device_count"):
+        if cfg.get("scale_lr_with_device_count") or cfg.get("scale_lr_with_gpu_count"):
             # sqrt(world) LR scaling (reference train_utils.py:282-283)
             base_lr *= math.sqrt(jax.device_count())
         schedule = build_schedule(self.model_cfg.get("lr_scheduler"), base_lr)
