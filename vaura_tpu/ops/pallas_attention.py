@@ -3,16 +3,18 @@
 The decode hot loop's HBM traffic is dominated by streaming the KV cache;
 the XLA path reads the full cache buffer every step even though only
 positions ``< pos`` are valid. This kernel DMAs exactly
-``ceil(pos / BLOCK)`` key/value blocks per batch row — a dynamic trip
-count — with a flash-style online softmax, and fuses the current position's
-K/V contribution.
+``ceil(pos / BLOCK)`` key/value blocks — a dynamic trip count — with a
+flash-style online softmax, fusing the current position's K/V.
 
-Mosaic-layout notes: heads and head_dim are merged into one trailing axis
-``D = H * hd`` (1536 for the flagship model — a lane-tiling-aligned
-multiple of 128; hd=96 alone is not DMA-sliceable). Per-head reductions are
-expressed as matmuls against a constant block-diagonal 0/1 matrix
-``M[D, H]`` (``M[i, h] = (i // hd == h)``), so every op is an MXU matmul or
-an elementwise VPU op — no in-kernel reshapes.
+v2 design notes (v1 measured 28.6 ms/step at B=32 — single-buffered
+per-row DMAs):
+  * one strided DMA per block covering all R=8 batch rows of a program
+  * double-buffered slots: block ``b+1``'s copy is in flight while block
+    ``b`` computes
+  * compute vectorized over rows via sublane-merged matmuls against a
+    constant block-diagonal head map ``M[D, H]`` (``M[i,h] = i//hd == h``) —
+    heads and head_dim stay merged as ``D = H*hd`` (lane-tiling aligned;
+    hd=96 alone is not DMA-sliceable)
 
 Shapes (one decoder layer, one step):
   q:       [B, H, hd]      current query
@@ -26,15 +28,6 @@ Shapes (one decoder layer, one step):
 Used from ``Attention``'s decode branch when
 ``SamplerConfig.use_pallas_decode`` is set (TPU only; the dense XLA path
 remains the reference implementation and the CPU/test fallback).
-
-MEASURED (v5e-1, flagship 24L/1536d, B=32+CFG, S=230): this kernel runs
-28.6 ms/step vs 7.5 ms/step for the dense XLA decode path. The exact
-bounded reads do not pay for the lost DMA pipelining (single-buffered
-copies, per-row head matmuls, 24 kernel launches/step), so the default
-stays ``use_pallas_decode=False``. To make it win it needs double-buffered
-block DMA overlapped with compute and row-batched score matmuls — left as
-the documented optimization path for longer contexts where bounded reads
-dominate.
 """
 
 from __future__ import annotations
@@ -47,90 +40,83 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK = 64
-
-
 ROWS_PER_PROGRAM = 8  # sublane-aligned batch tile per grid program
 
 
 def _make_kernel(H: int, hd: int):
     D = H * hd
     R = ROWS_PER_PROGRAM
+    BS = DEFAULT_BLOCK
 
     def _kernel(pos_ref, q_ref, kcur_ref, vcur_ref, k_hbm, v_hbm, o_ref):
-        """Grid: (B/R,). Each program handles R batch rows (static row
-        indices — Mosaic requires sublane indices provably 8-aligned)."""
         i = pl.program_id(0)
         pos = pos_ref[0]
-        BS = DEFAULT_BLOCK
         scale = 1.0 / (hd**0.5)
-        # block-diagonal head map M[lane, h] = (lane // hd == h)
         lane = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0)
         head = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
         M = (lane // hd == head).astype(jnp.float32)  # [D, H]
+        q_all = q_ref[...].astype(jnp.float32) * scale  # [R, D]
 
         def body(scr_k, scr_v, sem_k, sem_v):
-            n_blocks = pl.cdiv(pos, BS)
+            n_blocks = pl.cdiv(pos, BS)  # dynamic trip count: exact reads
+
+            def copy(slot, blk):
+                return (
+                    pltpu.make_async_copy(
+                        k_hbm.at[pl.ds(i * R, R), pl.ds(blk * BS, BS)],
+                        scr_k.at[slot],
+                        sem_k.at[slot],
+                    ),
+                    pltpu.make_async_copy(
+                        v_hbm.at[pl.ds(i * R, R), pl.ds(blk * BS, BS)],
+                        scr_v.at[slot],
+                        sem_v.at[slot],
+                    ),
+                )
+
+            @pl.when(n_blocks > 0)
+            def _():
+                ck, cv = copy(0, 0)
+                ck.start()
+                cv.start()
 
             def block_step(blk, state):
                 m, l, acc = state  # m, l: [R, H]; acc: [R, D]
-                # R parallel row DMAs, then one wait each
-                for r in range(R):
-                    pltpu.make_async_copy(
-                        k_hbm.at[i * R + r, pl.ds(blk * BS, BS)],
-                        scr_k.at[r],
-                        sem_k.at[r],
-                    ).start()
-                    pltpu.make_async_copy(
-                        v_hbm.at[i * R + r, pl.ds(blk * BS, BS)],
-                        scr_v.at[r],
-                        sem_v.at[r],
-                    ).start()
-                for r in range(R):
-                    pltpu.make_async_copy(
-                        k_hbm.at[i * R + r, pl.ds(blk * BS, BS)],
-                        scr_k.at[r],
-                        sem_k.at[r],
-                    ).wait()
-                    pltpu.make_async_copy(
-                        v_hbm.at[i * R + r, pl.ds(blk * BS, BS)],
-                        scr_v.at[r],
-                        sem_v.at[r],
-                    ).wait()
-                j_iota = jax.lax.broadcasted_iota(jnp.int32, (BS, H), 0)
-                m_out, l_out, acc_out = [], [], []
-                q_all = q_ref[...].astype(jnp.float32) * scale  # [R, D]
-                for r in range(R):
-                    k_blk = scr_k[r].astype(jnp.float32)  # [BS, D]
-                    v_blk = scr_v[r].astype(jnp.float32)
-                    q_r = q_all[r : r + 1]  # [1, D] static slice
-                    scores = jnp.dot(
-                        k_blk * q_r, M, preferred_element_type=jnp.float32
-                    )  # [BS, H]
-                    scores = jnp.where(blk * BS + j_iota < pos, scores, -1e30)
-                    m_r = m[r : r + 1]
-                    l_r = l[r : r + 1]
-                    acc_r = acc[r : r + 1]
-                    m_new = jnp.maximum(
-                        m_r, jnp.max(scores, axis=0, keepdims=True)
-                    )
-                    alpha = jnp.exp(m_r - m_new)  # [1, H]
-                    p = jnp.exp(scores - m_new)  # [BS, H]
-                    l_new = l_r * alpha + jnp.sum(p, axis=0, keepdims=True)
-                    p_lanes = jnp.dot(p, M.T, preferred_element_type=jnp.float32)
-                    alpha_lanes = jnp.dot(
-                        alpha, M.T, preferred_element_type=jnp.float32
-                    )
-                    acc_new = acc_r * alpha_lanes + jnp.sum(
-                        p_lanes * v_blk, axis=0, keepdims=True
-                    )
-                    m_out.append(m_new)
-                    l_out.append(l_new)
-                    acc_out.append(acc_new)
-                return (
-                    jnp.concatenate(m_out, axis=0),
-                    jnp.concatenate(l_out, axis=0),
-                    jnp.concatenate(acc_out, axis=0),
-                )
+                slot = jax.lax.rem(blk, 2)
+                nxt = jax.lax.rem(blk + 1, 2)
+
+                @pl.when(blk + 1 < n_blocks)
+                def _():
+                    nk, nv = copy(nxt, blk + 1)
+                    nk.start()
+                    nv.start()
+
+                wk, wv = copy(slot, blk)
+                wk.wait()
+                wv.wait()
+                k_blk = scr_k[slot].astype(jnp.float32)  # [R, BS, D]
+                v_blk = scr_v[slot].astype(jnp.float32)
+                # row-vectorized per-head scores: [(R*BS), H]
+                kq = (k_blk * q_all[:, None, :]).reshape(R * BS, D)
+                scores = jnp.dot(kq, M, preferred_element_type=jnp.float32)
+                j_idx = blk * BS + jax.lax.broadcasted_iota(
+                    jnp.int32, (R * BS, H), 0
+                ) % BS
+                scores = jnp.where(j_idx < pos, scores, -1e30)
+                scores3 = scores.reshape(R, BS, H)
+                m_new = jnp.maximum(m, jnp.max(scores3, axis=1))  # [R, H]
+                alpha = jnp.exp(m - m_new)  # [R, H]
+                p = jnp.exp(scores3 - m_new[:, None, :])  # [R, BS, H]
+                l_new = l * alpha + jnp.sum(p, axis=1)
+                p_lanes = jnp.dot(
+                    p.reshape(R * BS, H), M.T,
+                    preferred_element_type=jnp.float32,
+                ).reshape(R, BS, D)
+                alpha_lanes = jnp.dot(
+                    alpha, M.T, preferred_element_type=jnp.float32
+                )  # [R, D]
+                acc_new = acc * alpha_lanes + jnp.sum(p_lanes * v_blk, axis=1)
+                return m_new, l_new, acc_new
 
             m0 = jnp.full((R, H), -1e30, jnp.float32)
             l0 = jnp.zeros((R, H), jnp.float32)
@@ -139,9 +125,7 @@ def _make_kernel(H: int, hd: int):
                 0, n_blocks, block_step, (m0, l0, acc0)
             )
 
-            # fuse the current position's K/V (always attended), vectorized
-            # over the R rows
-            q_all = q_ref[...].astype(jnp.float32) * scale  # [R, D]
+            # fuse the current position's K/V (always attended)
             k_c = kcur_ref[...].astype(jnp.float32)  # [R, D]
             v_c = vcur_ref[...].astype(jnp.float32)
             s_c = jnp.dot(k_c * q_all, M, preferred_element_type=jnp.float32)
@@ -157,10 +141,10 @@ def _make_kernel(H: int, hd: int):
 
         pl.run_scoped(
             body,
-            scr_k=pltpu.VMEM((R, DEFAULT_BLOCK, D), k_hbm.dtype),
-            scr_v=pltpu.VMEM((R, DEFAULT_BLOCK, D), v_hbm.dtype),
-            sem_k=pltpu.SemaphoreType.DMA((R,)),
-            sem_v=pltpu.SemaphoreType.DMA((R,)),
+            scr_k=pltpu.VMEM((2, R, BS, D), k_hbm.dtype),
+            scr_v=pltpu.VMEM((2, R, BS, D), v_hbm.dtype),
+            sem_k=pltpu.SemaphoreType.DMA((2,)),
+            sem_v=pltpu.SemaphoreType.DMA((2,)),
         )
 
     return _kernel
