@@ -1,3 +1,21 @@
-from vaura_tpu.ops import losses, patterns, rope, sampling, schedules
+from vaura_tpu.ops import (
+    audio,
+    dropout,
+    losses,
+    patterns,
+    quantization,
+    rope,
+    sampling,
+    schedules,
+)
 
-__all__ = ["losses", "patterns", "rope", "sampling", "schedules"]
+__all__ = [
+    "audio",
+    "dropout",
+    "losses",
+    "patterns",
+    "quantization",
+    "rope",
+    "sampling",
+    "schedules",
+]

@@ -28,6 +28,17 @@ Shapes (one decoder layer, one step):
 Used from ``Attention``'s decode branch when
 ``SamplerConfig.use_pallas_decode`` is set (TPU only; the dense XLA path
 remains the reference implementation and the CPU/test fallback).
+
+MEASURED (v5e-1, flagship, B=32+CFG, S=230): v1 28.6 ms/step, v2 (double-
+buffered strided DMA, vectorized rows) 27.0 ms/step vs 6.25-7.5 ms for the
+fused XLA path. The near-identical v1/v2 numbers despite very different
+DMA schedules point at per-invocation overhead: the kernel launches 24x
+per decode step inside the layer scan (~1 ms each). A winning design would
+need attention for all layers fused into one kernel per step — impossible
+while FFN/norm layers interleave — or a megakernel of the whole block.
+Conclusion: at S~230 the XLA path is architecturally right; the kernel is
+kept as an off-by-default reference implementation of bounded-read decode
+attention for long-context settings.
 """
 
 from __future__ import annotations
