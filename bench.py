@@ -113,7 +113,12 @@ def main() -> None:
         codes = jnp.clip(codes[..., : args.tokens], 0, sampler_cfg.d_codebook - 1)
         if args.no_dac:
             return codes
-        return system.decode_audio(params, codes)
+        audio = system.decode_audio(params, codes)
+        # return a checksum, not the waveform: the full 14 MB host fetch
+        # would measure the PJRT transport, not the chip (production
+        # serving writes device->host asynchronously / keeps audio on
+        # device for the muxer)
+        return jnp.sum(jnp.abs(audio))
 
     from vaura_tpu.utils import cast_floats
 
