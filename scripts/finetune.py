@@ -57,54 +57,25 @@ def finetune(cfg: dict) -> dict:
 
     init_from = ft_cfg.get("init_from")
     if init_from:
-        import orbax.checkpoint as ocp
-
-        from vaura_tpu.train.state import (
-            TrainState,
-            build_schedule,
-            make_optimizer,
-        )
+        from vaura_tpu.train.checkpoint import restore_trainable_params
         from vaura_tpu.train.steps import split_params
 
-        ckptr = ocp.StandardCheckpointer()
-        path = Path(init_from).resolve()
-        if path.is_symlink():
-            path = (path.parent / path.readlink()).resolve()
+        trainable, _ = split_params(system, params)
         try:
-            # converted-checkpoint tree ({sampler, dac, encoder})
-            loaded = ckptr.restore(path, abstract_like(params))
+            # converted full tree ({sampler, dac, encoder})
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            loaded = ckptr.restore(
+                Path(init_from).resolve(), abstract_like(params)
+            )
             params.update({k: v for k, v in loaded.items() if v is not None})
         except Exception:
-            # training checkpoint {params, opt_state, step}: rebuild the
-            # matching optimizer-state skeleton, restore, keep params only
-            trainable, _ = split_params(system, params)
-            skeleton = TrainState.create(
-                trainable,
-                make_optimizer(
-                    build_schedule(
-                        model_cfg.get("lr_scheduler"),
-                        float(model_cfg.get("learning_rate", 1e-3)),
-                    ),
-                    weight_decay=float(model_cfg.get("weight_decay", 0.0)),
-                    betas=tuple(model_cfg.get("betas", (0.9, 0.95))),
-                    gradient_clip_val=trainer_cfg.get("gradient_clip_val", 1.0),
-                    gradient_clip_algorithm=trainer_cfg.get(
-                        "gradient_clip_algorithm", "value"
-                    ),
-                    accumulate_grad_batches=int(
-                        trainer_cfg.get("accumulate_grad_batches", 1) or 1
-                    ),
-                ),
+            params.update(
+                restore_trainable_params(
+                    init_from, trainable, model_cfg, trainer_cfg
+                )
             )
-            loaded = ckptr.restore(
-                path,
-                {
-                    "params": abstract_like(skeleton.params),
-                    "opt_state": abstract_like(skeleton.opt_state),
-                    "step": abstract_like(skeleton.step),
-                },
-            )
-            params.update(loaded["params"])
         logger.info("finetuning from %s", init_from)
     else:
         logger.warning("finetune.init_from not set: training from scratch")

@@ -116,9 +116,11 @@ def generate(cfg: dict) -> dict:
     params = system.load_dac_embeddings_into_sampler(params)
     trainable, frozen = split_params(system, params)
     if ckpt_path:
-        mgr = CheckpointManager(Path(ckpt_path).parent)
-        payload = mgr.restore(ckpt_path, {"params": abstract_like(trainable)})
-        trainable = payload["params"]
+        from vaura_tpu.train.checkpoint import restore_trainable_params
+
+        trainable = restore_trainable_params(
+            ckpt_path, trainable, model_cfg, cfg.get("trainer")
+        )
         logger.info("Loaded checkpoint %s", ckpt_path)
     params = {**frozen, **trainable}
     # bf16 weights for inference: halves weight-streaming HBM traffic

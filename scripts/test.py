@@ -50,10 +50,11 @@ def test(cfg: dict) -> dict:
 
     ckpt_path = trainer_cfg.get("ckpt_path")
     if ckpt_path:
-        mgr = CheckpointManager(ckpt_path if str(ckpt_path).endswith("checkpoints")
-                                else str(ckpt_path))
-        payload = mgr.restore(ckpt_path, {"params": abstract_like(trainable)})
-        trainable = payload["params"]
+        from vaura_tpu.train.checkpoint import restore_trainable_params
+
+        trainable = restore_trainable_params(
+            ckpt_path, trainable, model_cfg, trainer_cfg
+        )
         logger.info("Loaded checkpoint %s", ckpt_path)
 
     trainer = Trainer(system, trainer_cfg, model_cfg, dirs)

@@ -90,3 +90,20 @@ def test_restore_best_via_manager(tmp_path):
         np.asarray(payload["params"]["sampler"]["w"]),
         np.asarray(s2.params["sampler"]["w"]),
     )
+
+
+def test_restore_trainable_params_from_training_ckpt(tmp_path):
+    """restore_trainable_params must read the params subtree out of a
+    training checkpoint by rebuilding the optimizer skeleton abstractly."""
+    from vaura_tpu.train.checkpoint import restore_trainable_params
+
+    mgr = CheckpointManager(tmp_path / "ckpts")
+    state = _state(7)
+    mgr.save(state, epoch=0, step=5, val_loss=1.0)
+    path = tmp_path / "ckpts" / checkpoint_name(0, 5, 1.0)
+    got = restore_trainable_params(
+        path, state.params, {"learning_rate": 1e-3}, {}
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["sampler"]["w"]), np.asarray(state.params["sampler"]["w"])
+    )

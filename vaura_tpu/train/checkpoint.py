@@ -107,7 +107,63 @@ class CheckpointManager:
 
 
 def abstract_like(tree: Any) -> Any:
-    """Shape/dtype skeleton for orbax restore."""
-    return jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), tree
+    """Shape/dtype skeleton for orbax restore (passes through trees that
+    already hold ShapeDtypeStructs)."""
+
+    def to_sds(x):
+        if isinstance(x, jax.ShapeDtypeStruct):
+            return x
+        return jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+
+    return jax.tree.map(to_sds, tree)
+
+
+def restore_trainable_params(
+    ckpt_path, trainable: Any, model_cfg: dict,
+    trainer_cfg: Optional[dict] = None,
+) -> Dict[str, Any]:
+    """Load trainable params from either a converted-checkpoint tree or a
+    training checkpoint ({params, opt_state, step}). ``trainable`` is the
+    (real or abstract) trainable param pytree; for training checkpoints the
+    optimizer-state skeleton is rebuilt abstractly from the same recipe the
+    Trainer uses (no device allocation)."""
+    from pathlib import Path as _Path
+
+    from vaura_tpu.train.state import build_schedule, make_optimizer
+
+    trainer_cfg = trainer_cfg or {}
+    path = _Path(ckpt_path)
+    if path.is_symlink():
+        path = (path.parent / path.readlink()).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    abstract = abstract_like(trainable)
+    try:
+        # converted tree holding the same subtrees as `trainable`
+        return ckptr.restore(path.resolve(), abstract)
+    except Exception:
+        pass
+    tx = make_optimizer(
+        build_schedule(
+            model_cfg.get("lr_scheduler"),
+            float(model_cfg.get("learning_rate", 1e-3)),
+        ),
+        weight_decay=float(model_cfg.get("weight_decay", 0.0)),
+        betas=tuple(model_cfg.get("betas", (0.9, 0.95))),
+        gradient_clip_val=trainer_cfg.get("gradient_clip_val", 1.0),
+        gradient_clip_algorithm=trainer_cfg.get(
+            "gradient_clip_algorithm", "value"
+        ),
+        accumulate_grad_batches=int(
+            trainer_cfg.get("accumulate_grad_batches", 1) or 1
+        ),
     )
+    opt_abstract = jax.eval_shape(tx.init, abstract)
+    payload = ckptr.restore(
+        path.resolve(),
+        {
+            "params": abstract,
+            "opt_state": abstract_like(opt_abstract),
+            "step": jax.ShapeDtypeStruct((), np.int32),
+        },
+    )
+    return payload["params"]
