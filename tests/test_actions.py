@@ -82,3 +82,27 @@ def test_finetune_action(dummy_cfg, tmp_path):
     cfg["finetune"] = {"init_from": str(best)}
     result = finetune(cfg)
     assert np.isfinite(result["metrics"]["test_loss"])
+
+
+def test_train_then_generate_from_experiment(dummy_cfg, tmp_path):
+    """The reference's main workflow: train, then generate pointing at the
+    experiment directory (hparams + best checkpoint resolved automatically,
+    reference scripts/generate.py:43-128)."""
+    from scripts.generate import generate
+    from scripts.train import train
+
+    first = train(dummy_cfg)
+    run_dir = first["dirs"]["root"]
+    cfg = dict(dummy_cfg)
+    cfg["action"] = "generate"
+    cfg["experiment_path"] = str(run_dir)
+    cfg["duration"] = 0.15
+    cfg["model_max_duration"] = 0.64
+    cfg["top_k"] = 8
+    cfg["output_dir"] = str(tmp_path / "gen2")
+    cfg["dataloader"] = dict(cfg["dataloader"])
+    cfg["dataloader"]["batch_size"] = 1
+    cfg["max_batches"] = 1
+    result = generate(cfg)
+    assert result["num_generated"] >= 1
+    assert list((tmp_path / "gen2").glob("*.wav"))
