@@ -45,7 +45,14 @@ def main() -> None:
     )
     ap.add_argument("--no-int8", dest="int8", action="store_false")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument(
+        "--mode", choices=["generate", "train"], default="generate",
+        help="train: flagship train-step throughput instead of generation",
+    )
     args = ap.parse_args()
+
+    if args.mode == "train":
+        return bench_train(args)
 
     from vaura_tpu.models.dac.model import config_for_sample_rate
     from vaura_tpu.models.sampler import SamplerConfig
@@ -167,6 +174,77 @@ def main() -> None:
                 "value": round(value, 3),
                 "unit": "audio_sec/sec/chip",
                 "vs_baseline": round(value / 5.0, 3),
+            }
+        )
+    )
+
+
+def bench_train(args) -> None:
+    """Flagship decoder train-step throughput (frozen codec, remat)."""
+    import dataclasses
+
+    import optax
+
+    from vaura_tpu.models.dac.model import config_for_sample_rate
+    from vaura_tpu.models.sampler import SamplerConfig
+    from vaura_tpu.models.vaura import VauraSystem
+    from vaura_tpu.train.state import TrainState, make_optimizer
+
+    B = min(args.batch, 12)  # 16 GB v5e envelope with remat
+    system = VauraSystem(
+        sampler_config=SamplerConfig(remat=True),
+        dac_config=config_for_sample_rate(44100),
+        encoder_config=None,
+        use_visual_conditioning=True,
+    )
+    rng = jax.random.PRNGKey(0)
+    tokens0 = jnp.zeros((1, 9, 16), jnp.int32)
+    cond0 = jnp.zeros((1, 8, 768))
+    sam = jax.jit(
+        lambda r: system.sampler.init(
+            {"params": r, "dropout": r, "cfg_dropout": r}, tokens0, cond0, False
+        )["params"]
+    )(rng)
+    dac = jax.jit(
+        lambda r: system.dac.init(r, jnp.zeros((1, 1, 2048)))["params"]
+    )(rng)
+    frozen = {"dac": dac}
+    state = TrainState.create({"sampler": sam}, make_optimizer(1e-4))
+
+    def train_step(state, audio, vis, rng):
+        def loss_fn(trainable):
+            params = {**frozen, **trainable}
+            loss, _ = system.train_forward(
+                params, None, audio, rng, train=True, vis_feats=vis
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    step = jax.jit(train_step, donate_argnums=(0,))
+    rngb = np.random.default_rng(0)
+    audio = jnp.asarray(
+        (rngb.standard_normal((B, 1, 112896)) * 0.1).astype(np.float32)
+    )
+    vis = jnp.asarray(rngb.standard_normal((B, 32, 768)).astype(np.float32))
+    state, l = step(state, audio, vis, jax.random.PRNGKey(1))
+    float(np.asarray(l))  # sync
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        state, l = step(state, audio, vis, jax.random.PRNGKey(2 + i))
+        float(np.asarray(l))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    value = B * 221 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_codec_tokens_per_sec_per_chip",
+                "value": round(value, 1),
+                "unit": "tokens/sec/chip",
+                "vs_baseline": round(dt and B / dt / 12, 3),
             }
         )
     )
