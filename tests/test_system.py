@@ -262,3 +262,15 @@ def test_generate_check_mode(system):
         decode_to_audio=False, check=True,
     )
     assert out["codes"].shape == (1, 3, 10)
+
+
+def test_generate_seed_reproducibility(system):
+    """Same rng -> identical sampled codes; different rng -> different."""
+    sys_, params = system
+    frames = _batch(B=1)["frames"]
+    kw = dict(max_new_tokens=12, top_k=8, temp=1.0, decode_to_audio=False)
+    c1 = np.asarray(sys_.generate(params, frames, jax.random.PRNGKey(5), **kw)["codes"])
+    c2 = np.asarray(sys_.generate(params, frames, jax.random.PRNGKey(5), **kw)["codes"])
+    c3 = np.asarray(sys_.generate(params, frames, jax.random.PRNGKey(6), **kw)["codes"])
+    np.testing.assert_array_equal(c1, c2)
+    assert not np.array_equal(c1, c3)
