@@ -153,3 +153,41 @@ def test_masked_ce_ignores_nan_fill():
         jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(mask)
     )
     assert np.isfinite(float(loss))
+
+
+# ------------------------- misc ops ------------------------- #
+def test_nullify_condition():
+    from vaura_tpu.ops.dropout import nullify_condition
+
+    cond = jnp.asarray(np.random.default_rng(0).normal(size=(2, 5, 3)))
+    out = nullify_condition(cond, dim=1)
+    assert out.shape == (2, 1, 3)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_cfg_batch_dropout():
+    from vaura_tpu.ops.dropout import classifier_free_guidance_dropout
+
+    cond = jnp.ones((2, 4, 3))
+    out, dropped = classifier_free_guidance_dropout(
+        jax.random.PRNGKey(0), cond, p=1.0, train=True
+    )
+    assert bool(dropped)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+    out, dropped = classifier_free_guidance_dropout(
+        jax.random.PRNGKey(0), cond, p=0.0, train=True
+    )
+    assert not bool(dropped)
+    np.testing.assert_array_equal(np.asarray(out), 1.0)
+
+
+def test_attn_rows_to_video():
+    from vaura_tpu.utils.viz import attn_rows_to_video, scale_to_01
+
+    rows = np.random.default_rng(0).random((6, 20)).astype(np.float32)
+    video = attn_rows_to_video(rows, scale=2, height=8)
+    assert video.shape == (6, 8, 40, 3)
+    assert video.dtype == np.uint8
+    x = np.asarray([-2.0, 0.0, 6.0])
+    s = scale_to_01(x)
+    assert s.min() == 0.0 and s.max() == 1.0
