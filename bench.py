@@ -238,13 +238,16 @@ def bench_train(args) -> None:
         times.append(time.perf_counter() - t0)
     dt = min(times)
     value = B * 221 / dt
+    # vs_baseline: the reference recipe consumes 12 samples/step on each of
+    # 4 GPUs; one chip matching one reference GPU's per-step batch in `dt`
+    # seconds gives the ratio below (no published step time to compare to)
     print(
         json.dumps(
             {
                 "metric": "train_codec_tokens_per_sec_per_chip",
                 "value": round(value, 1),
                 "unit": "tokens/sec/chip",
-                "vs_baseline": round(dt and B / dt / 12, 3),
+                "vs_baseline": round(B / 12 / dt, 3),
             }
         )
     )
