@@ -390,6 +390,7 @@ class VauraSystem:
         cache_dtype=None,
         decode_buckets: int = 1,
         initial_cache: Optional[Dict[str, jax.Array]] = None,
+        step_unroll: int = 1,
     ) -> jax.Array:
         """Run the generation scan; returns the completed ``[B, K, S]``
         sequence. ``start_step`` is static; steps scan from there to S.
@@ -431,7 +432,7 @@ class VauraSystem:
                 return _step(params["sampler"], carry, s)
 
             steps = jnp.arange(lo, hi, dtype=jnp.int32)
-            carry, _ = jax.lax.scan(body, carry, steps)
+            carry, _ = jax.lax.scan(body, carry, steps, unroll=step_unroll)
             lo = hi
         (_, gen_seq, _, _) = carry
         return gen_seq
