@@ -88,17 +88,37 @@ class Permute:
 
 
 class Resize:
-    """Bilinear spatial resize of [T, H, W, C] or [T, C, H, W] video."""
+    """Bilinear spatial resize of [T, H, W, C] or [T, C, H, W] video.
 
-    def __init__(self, size, channels_last: bool = True):
-        self.size = (size, size) if isinstance(size, int) else tuple(size)
+    torchvision semantics (the reference pipelines rely on them,
+    e.g. ``Resize(256)`` then ``*Crop(224)``): an int size resizes the
+    *shorter* side to that value preserving aspect ratio; a [h, w] pair
+    resizes exactly. ``antialias``/``interpolation`` are accepted for
+    config compatibility (PIL bilinear always antialiases).
+    """
+
+    def __init__(
+        self, size, channels_last: bool = True, antialias=True, interpolation=None
+    ):
+        self.size = size if isinstance(size, int) else tuple(size)
         self.channels_last = channels_last
+
+    def _target_hw(self, H: int, W: int):
+        if isinstance(self.size, int):
+            s = self.size
+            if H <= W:
+                return s, max(1, round(W * s / H))
+            return max(1, round(H * s / W)), s
+        return self.size
 
     def __call__(self, x):
         from PIL import Image
 
         x = np.asarray(x)
-        th, tw = self.size
+        if self.channels_last:
+            th, tw = self._target_hw(x.shape[1], x.shape[2])
+        else:
+            th, tw = self._target_hw(x.shape[2], x.shape[3])
         frames = []
         for f in x:
             if not self.channels_last:
