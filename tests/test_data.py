@@ -48,6 +48,46 @@ def test_loader_threaded_matches_sync():
         np.testing.assert_array_equal(a["frames"], b["frames"])
 
 
+def test_loader_process_workers_match_sync():
+    ds = DummyDataset("validation", frame_shape=(8, 8), sample_rate_audio=100)
+    sync = list(DataLoader(ds, 8, num_workers=0))
+    procs = list(
+        DataLoader(ds, 8, num_workers=2, worker_type="process", prefetch=1)
+    )
+    assert len(sync) == len(procs)
+    for a, b in zip(sync, procs):
+        np.testing.assert_array_equal(a["frames"], b["frames"])
+        assert a["meta"]["filepath"] == b["meta"]["filepath"]
+
+
+def test_loader_process_worker_error_propagates():
+    import pytest
+
+    class Exploding(DummyDataset):
+        def __getitem__(self, idx):
+            if idx == 3:
+                raise ValueError("boom at 3")
+            return super().__getitem__(idx)
+
+    ds = Exploding("validation", frame_shape=(8, 8), sample_rate_audio=100)
+    loader = DataLoader(
+        ds, 2, num_workers=2, worker_type="process", shuffle=False
+    )
+    with pytest.raises(RuntimeError, match="boom at 3"):
+        list(loader)
+
+
+def test_loader_threaded_backpressure_completes():
+    # prefetch=1 with more batches than the in-flight window: must not
+    # deadlock and must stay ordered
+    ds = DummyDataset("validation", frame_shape=(8, 8), sample_rate_audio=100)
+    out = list(DataLoader(ds, 4, num_workers=2, prefetch=1))
+    ref = list(DataLoader(ds, 4, num_workers=0))
+    assert len(out) == len(ref)
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(a["frames"], b["frames"])
+
+
 def test_loader_drop_last():
     ds = DummyDataset("validation", frame_shape=(8, 8), sample_rate_audio=100)
     assert len(DataLoader(ds, 7, drop_last=True)) == 66 // 7

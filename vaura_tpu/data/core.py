@@ -15,6 +15,7 @@ scheduling.
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import threading
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
@@ -52,9 +53,23 @@ def default_collate(items: List[dict]) -> dict:
 
 
 class DataLoader:
-    """Batched iteration with deterministic shuffling and threaded
+    """Batched iteration with deterministic shuffling and parallel
     prefetch. ``drop_last=True`` by default: fixed batch shapes are a
-    requirement for jit (ragged tails would trigger recompiles)."""
+    requirement for jit (ragged tails would trigger recompiles).
+
+    ``worker_type``:
+      - ``"thread"`` (default): background threads. Right choice when the
+        per-item cost is dominated by the native media decoder
+        (``vaura_tpu/data/media.py`` releases the GIL) or numpy.
+      - ``"process"``: ``multiprocessing`` workers (the reference's torch
+        ``num_workers`` semantics). Right choice for GIL-bound Python
+        transforms. Batches are collated in the worker and shipped back
+        whole.
+
+    In-flight work is bounded by ``num_workers + prefetch`` batches in
+    both modes (backpressure — workers cannot race arbitrarily far ahead
+    of the consumer).
+    """
 
     def __init__(
         self,
@@ -66,7 +81,9 @@ class DataLoader:
         num_workers: int = 0,
         prefetch: int = 2,
         collate_fn: Callable[[List[dict]], dict] = default_collate,
+        worker_type: str = "thread",
     ):
+        assert worker_type in ("thread", "process"), worker_type
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -75,6 +92,7 @@ class DataLoader:
         self.num_workers = num_workers
         self.prefetch = max(prefetch, 1)
         self.collate_fn = collate_fn
+        self.worker_type = worker_type
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -107,20 +125,31 @@ class DataLoader:
             for idxs in batches:
                 yield self._load_batch(idxs)
             return
-        # threaded prefetch: workers pull batch indices from a queue and
-        # publish results in order
+        if self.worker_type == "process":
+            yield from self._iter_processes(batches)
+        else:
+            yield from self._iter_threads(batches)
+
+    def _iter_threads(self, batches: List[np.ndarray]) -> Iterator[dict]:
+        """Thread workers pull batch indices from a queue and publish
+        results in order; a semaphore bounds in-flight batches to
+        ``num_workers + prefetch``."""
         results: Dict[int, dict] = {}
         results_lock = threading.Condition()
         work: "queue.Queue" = queue.Queue()
         for i, idxs in enumerate(batches):
             work.put((i, idxs))
         stop = threading.Event()
+        inflight = threading.BoundedSemaphore(self.num_workers + self.prefetch)
 
         def worker():
             while not stop.is_set():
+                if not inflight.acquire(timeout=1.0):
+                    continue
                 try:
                     i, idxs = work.get_nowait()
                 except queue.Empty:
+                    inflight.release()
                     return
                 batch = self._load_batch(idxs)
                 with results_lock:
@@ -138,9 +167,83 @@ class DataLoader:
                 with results_lock:
                     while i not in results:
                         results_lock.wait(timeout=60.0)
-                    yield results.pop(i)
+                    batch = results.pop(i)
+                inflight.release()
+                yield batch
         finally:
             stop.set()
+
+    def _iter_processes(self, batches: List[np.ndarray]) -> Iterator[dict]:
+        """Multiprocessing workers (torch ``num_workers`` analogue). The
+        work queue is fed incrementally — at most ``num_workers +
+        prefetch`` batches are in flight — so worker memory stays
+        bounded. Uses fork when available (no dataset pickling); spawn
+        otherwise (dataset/collate_fn must pickle)."""
+        method = "fork" if "fork" in mp.get_all_start_methods() else "spawn"
+        ctx = mp.get_context(method)
+        work_q = ctx.Queue()
+        result_q = ctx.Queue()
+        n_workers = min(self.num_workers, len(batches))
+        procs = [
+            ctx.Process(
+                target=_process_worker,
+                args=(self.dataset, self.collate_fn, work_q, result_q),
+                daemon=True,
+            )
+            for _ in range(n_workers)
+        ]
+        for p in procs:
+            p.start()
+        try:
+            feed = 0
+            window = n_workers + self.prefetch
+            while feed < min(window, len(batches)):
+                work_q.put((feed, np.asarray(batches[feed])))
+                feed += 1
+            pending: Dict[int, dict] = {}
+            for i in range(len(batches)):
+                while i not in pending:
+                    j, payload = result_q.get(timeout=300.0)
+                    if isinstance(payload, _WorkerError):
+                        raise RuntimeError(
+                            f"DataLoader worker failed on batch {j}:\n"
+                            f"{payload.traceback}"
+                        )
+                    pending[j] = payload
+                if feed < len(batches):
+                    work_q.put((feed, np.asarray(batches[feed])))
+                    feed += 1
+                yield pending.pop(i)
+        finally:
+            for _ in procs:
+                work_q.put(None)
+            for p in procs:
+                p.join(timeout=10.0)
+                if p.is_alive():
+                    p.terminate()
+
+
+class _WorkerError:
+    """Picklable error marker carrying the worker's traceback."""
+
+    def __init__(self, tb: str):
+        self.traceback = tb
+
+
+def _process_worker(dataset, collate_fn, work_q, result_q) -> None:
+    """Top-level (picklable under spawn) process-worker loop."""
+    while True:
+        item = work_q.get()
+        if item is None:
+            return
+        i, idxs = item
+        try:
+            batch = collate_fn([dataset[int(k)] for k in idxs])
+            result_q.put((i, batch))
+        except BaseException:  # noqa: BLE001 — ship any failure to parent
+            import traceback
+
+            result_q.put((i, _WorkerError(traceback.format_exc())))
 
 
 class DataModule:
