@@ -54,7 +54,10 @@ class MotionFormerConfig:
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.2
     pos_embed_type: str = "separate"  # separate | joint
-    attn_layer: str = "divided"  # divided | joint (reference VIT.ATTN_LAYER)
+    attn_layer: str = "divided"  # divided | joint | trajectory (VIT.ATTN_LAYER)
+    approx_attn_type: str = "none"  # none | nystrom | orthoformer | performer
+    approx_attn_dim: int = 128  # landmarks / random features for approx attn
+    use_original_code: bool = True  # trajectory temporal values = traj pts
     norm_eps: float = 1e-6
     factorize_space_time: bool = True
     agg_space_module: str = "TransformerEncoderLayer"  # | AveragePooling
@@ -279,6 +282,117 @@ class JointSpaceTimeBlock(nn.Module):
     _drop_path = DividedSpaceTimeBlock._drop_path
 
 
+class TrajectoryBlock(nn.Module):
+    """Pre-norm ViT block with trajectory attention (reference
+    ``vit_helper.py:174-313``; selected by ``attn_layer: trajectory`` as in
+    ``motionformer_224_16x4.yaml``). Two-step attention: (1) a spatial
+    step forms, for every query token, one attention-aggregated
+    "trajectory point" per frame (optionally approximated —
+    ``approx_attn_type``: nystrom / orthoformer / performer, see
+    ``vaura_tpu.ops.trajectory_attention``); (2) a temporal step attends
+    along each token's trajectory, querying with its own-frame point. The
+    CLS token attends globally. With ``use_original_code`` the temporal
+    values are the raw trajectory points (the reference keeps this
+    behavior for checkpoint replication, ``vit_helper.py:196-200``)."""
+
+    config: MotionFormerConfig
+
+    @nn.compact
+    def __call__(self, x, broadcast_in, drop_path_rate):
+        from vaura_tpu.ops.trajectory_attention import (
+            nystrom_spatial_attn,
+            orthoformer,
+            performer_spatial_attn,
+            trajectory_spatial_full,
+        )
+
+        cfg = self.config
+        f, n, train = broadcast_in
+        B, N1, D = x.shape  # N1 = 1 + f*n
+        N = f * n
+        H, hd = cfg.num_heads, cfg.head_dim
+        scale = hd**-0.5
+        ln = lambda name: nn.LayerNorm(
+            epsilon=cfg.norm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name=name,
+        )
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=cfg.qkv_bias, kernel_init=_trunc_normal(),
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name,
+        )
+
+        h = ln("norm1")(x)
+        qkv = dense(3 * D, "attn_qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        to_heads = lambda t_: t_.reshape(B, N1, H, hd).transpose(0, 2, 1, 3)
+        q, k, v = map(to_heads, (q, k, v))  # [B, H, N1, hd]
+
+        # CLS query attends over every key (reference vit_helper.py:219-221)
+        cls_scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q[:, :, :1] * scale, k,
+            preferred_element_type=jnp.float32,
+        )
+        cls_probs = jax.nn.softmax(cls_scores, axis=-1)
+        cls_out = jnp.einsum(
+            "bhqk,bhkd->bhqd", cls_probs.astype(v.dtype), v
+        ).transpose(0, 2, 1, 3).reshape(B, 1, D)
+
+        # spatial (trajectory-formation) step on non-CLS tokens, heads folded
+        fold = lambda t_: t_[:, :, 1:].reshape(B * H, N, hd)
+        qs, ks, vs = map(fold, (q, k, v))
+        if cfg.approx_attn_type == "nystrom":
+            traj = nystrom_spatial_attn(
+                qs, ks, vs, landmarks=cfg.approx_attn_dim, num_frames=f
+            )
+        elif cfg.approx_attn_type == "orthoformer":
+            traj = orthoformer(
+                qs, ks, vs, num_landmarks=cfg.approx_attn_dim, num_frames=f
+            )
+        elif cfg.approx_attn_type == "performer":
+            traj = performer_spatial_attn(
+                qs, ks, vs, num_frames=f, num_features=cfg.approx_attn_dim
+            )
+        else:
+            traj = trajectory_spatial_full(qs, ks, vs, num_frames=f)
+        # [B*H, N, f, hd] -> merged-head trajectory points [B, N, f, D]
+        traj_h = traj.reshape(B, H, N, f, hd)
+        x_traj = traj_h.transpose(0, 2, 3, 1, 4).reshape(B, N, f, D)
+
+        # temporal step: token (fi, p) queries with its own-frame point
+        x_diag = jnp.diagonal(
+            x_traj.reshape(B, f, n, f, D), axis1=1, axis2=3
+        )  # [B, n, D, f]
+        x_diag = x_diag.transpose(0, 3, 1, 2).reshape(B, N, D)
+        q2 = dense(D, "attn_proj_q")(x_diag)
+        k2, v2 = jnp.split(dense(2 * D, "attn_proj_kv")(x_traj), 2, axis=-1)
+        q2 = q2.reshape(B, N, H, hd).transpose(0, 2, 1, 3) * scale
+        heads5 = lambda t_: t_.reshape(B, N, f, H, hd).transpose(0, 3, 1, 2, 4)
+        k2 = heads5(k2)
+        t_scores = jnp.einsum(
+            "bhnd,bhnfd->bhnf", q2, k2, preferred_element_type=jnp.float32
+        )
+        t_probs = jax.nn.softmax(t_scores, axis=-1)
+        t_vals = traj_h if cfg.use_original_code else heads5(v2)
+        out = jnp.einsum(
+            "bhnf,bhnfd->bhnd", t_probs.astype(t_vals.dtype), t_vals
+        ).transpose(0, 2, 1, 3).reshape(B, N, D)
+
+        out = jnp.concatenate([cls_out, out], axis=1)
+        out = nn.Dense(
+            D, kernel_init=_trunc_normal(), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="attn_proj",
+        )(out)
+        out = nn.Dropout(cfg.drop_rate, deterministic=not train)(out)
+        x = x + self._drop_path(out, drop_path_rate, train)
+        mlp_out = Mlp(
+            cfg, int(cfg.embed_dim * cfg.mlp_ratio), cfg.embed_dim, name="mlp"
+        )(ln("norm2")(x), train)
+        x = x + self._drop_path(mlp_out, drop_path_rate, train)
+        return x, drop_path_rate
+
+    _drop_path = DividedSpaceTimeBlock._drop_path
+
+
 class SpatialAggregationLayer(nn.Module):
     """CLS-token transformer encoder layer aggregating the 196 spatial
     tokens of each frame into one 768-d vector (reference
@@ -400,10 +514,10 @@ class MotionFormer(nn.Module):
         dpr = jnp.asarray(
             np.linspace(0.0, cfg.drop_path_rate, cfg.depth), dtype=jnp.float32
         )
-        block_cls = (
-            JointSpaceTimeBlock if cfg.attn_layer == "joint"
-            else DividedSpaceTimeBlock
-        )
+        block_cls = {
+            "joint": JointSpaceTimeBlock,
+            "trajectory": TrajectoryBlock,
+        }.get(cfg.attn_layer, DividedSpaceTimeBlock)
         blocks = nn.scan(
             block_cls,
             variable_axes={"params": 0},
