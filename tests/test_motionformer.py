@@ -192,3 +192,42 @@ def test_motionformer_output_shape():
     out, glob = model.apply({"params": params}, frames)
     assert out.shape == (1, 3, CFG.temporal_resolution, CFG.embed_dim)
     assert glob is None
+
+
+def test_motionformer_temporal_and_global_aggregation():
+    """agg_time_module=TransformerEncoderLayer pools (B,S,t,D) -> (B,S,D);
+    add_global_repr aggregates segments -> (B,D) via a CLS encoder layer
+    with a segment positional embedding (reference motionformer.py:191-216,
+    294-301)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG,
+        agg_time_module="TransformerEncoderLayer",
+        add_global_repr=True,
+        max_segments=8,
+    )
+    model = MotionFormer(cfg)
+    frames = jnp.zeros((2, 3, 3, 4, cfg.img_size, cfg.img_size))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        frames,
+    )["params"]
+    out, glob = model.apply({"params": params}, frames)
+    assert out.shape == (2, 3, cfg.embed_dim)
+    assert glob.shape == (2, cfg.embed_dim)
+    assert "temp_attn_agg" in params and "global_attn_agg" in params
+    assert params["global_attn_agg"]["pos_emb"].shape == (1, 9, cfg.embed_dim)
+
+    # AveragePooling variants
+    cfg2 = dataclasses.replace(
+        cfg, agg_time_module="AveragePooling", agg_segments_module="AveragePooling"
+    )
+    model2 = MotionFormer(cfg2)
+    params2 = model2.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        frames,
+    )["params"]
+    out2, glob2 = model2.apply({"params": params2}, frames)
+    assert out2.shape == (2, 3, cfg.embed_dim)
+    assert glob2.shape == (2, cfg.embed_dim)

@@ -63,6 +63,7 @@ class MotionFormerConfig:
     agg_space_module: str = "TransformerEncoderLayer"  # | AveragePooling
     agg_time_module: str = "Identity"  # | TransformerEncoderLayer | AveragePooling
     add_global_repr: bool = False
+    agg_segments_module: str = "TransformerEncoderLayer"  # | AveragePooling
     max_segments: int = 16
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
@@ -108,6 +109,11 @@ def MotionFormerSpec(
             "Identity" if "Identity" in agg_time_module else agg_time_module
         ),
         add_global_repr=add_global_repr,
+        agg_segments_module=(
+            agg_segments_module
+            if agg_segments_module is not None
+            else "TransformerEncoderLayer"
+        ),
         max_segments=max_segments if max_segments is not None else 16,
         **kwargs,
     )
@@ -397,9 +403,14 @@ class SpatialAggregationLayer(nn.Module):
     """CLS-token transformer encoder layer aggregating the 196 spatial
     tokens of each frame into one 768-d vector (reference
     ``motionformer.py:367-497``, a ``nn.TransformerEncoderLayer`` with
-    ``norm_first=True``, GELU, ffn = mlp_ratio * d)."""
+    ``norm_first=True``, GELU, ffn = mlp_ratio * d). With ``add_pos_emb``
+    it doubles as the reference's temporal/global aggregation layer
+    (``BaseEncoderLayer``'s positional-embedding mode,
+    ``motionformer.py:377-440``)."""
 
     config: MotionFormerConfig
+    add_pos_emb: bool = False
+    pos_max_len: int = 16
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -411,6 +422,14 @@ class SpatialAggregationLayer(nn.Module):
         x = jnp.concatenate(
             [jnp.broadcast_to(cls.astype(x.dtype), (Bt, 1, D)), x], axis=1
         )
+        if self.add_pos_emb:
+            assert N + 1 <= 1 + self.pos_max_len, (N, self.pos_max_len)
+            pos = self.param(
+                "pos_emb", _trunc_normal(), (1, 1 + self.pos_max_len, D),
+                cfg.param_dtype,
+            )
+            x = x + pos[:, : N + 1].astype(x.dtype)
+            x = nn.Dropout(cfg.drop_rate, deterministic=not train)(x)
         # --- self-attention sublayer (pre-norm) ---
         h = nn.LayerNorm(
             epsilon=cfg.norm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
@@ -548,13 +567,25 @@ class MotionFormer(nn.Module):
             x = jnp.mean(x, axis=2)
 
         if cfg.agg_time_module == "TransformerEncoderLayer":
-            raise NotImplementedError(
-                "temporal TransformerEncoderLayer aggregation is not used by "
-                "the V-AURA configs (agg_time_module is Identity)"
-            )
+            # (B*S, t, D) -> (B*S, D): CLS-token encoder layer over time
+            # (reference TemporalTransformerEncoderLayer, motionformer.py:494-510)
+            x = SpatialAggregationLayer(cfg, name="temp_attn_agg")(x, train)
         elif cfg.agg_time_module == "AveragePooling":
             x = jnp.mean(x, axis=1)
 
         feats = x.reshape(B, S, *x.shape[1:])
         global_repr = None
+        if cfg.add_global_repr and feats.ndim == 3:
+            # aggregate segments into one clip-level vector (reference
+            # motionformer.py:200-216, 294-301): CLS encoder layer with a
+            # positional embedding over segments, or mean pooling
+            if cfg.agg_segments_module == "AveragePooling":
+                global_repr = jnp.mean(feats, axis=1)
+            else:
+                global_repr = SpatialAggregationLayer(
+                    cfg,
+                    add_pos_emb=True,
+                    pos_max_len=cfg.max_segments,
+                    name="global_attn_agg",
+                )(feats, train)
         return feats, global_repr
