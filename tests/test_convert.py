@@ -272,3 +272,69 @@ def test_sampler_conversion_structure():
     pg = params["tok_embeddings"]["proj_g"][0]
     eff = pg * pv / np.linalg.norm(pv, axis=-1, keepdims=True)
     np.testing.assert_allclose(eff, expected, rtol=1e-5)
+
+
+def test_motionformer_trajectory_conversion_structure():
+    """Trajectory-variant torch checkpoints (attn.proj_q/proj_kv keys,
+    reference vit_helper.py:174-313) convert into a tree that loads
+    directly into MotionFormer(attn_layer='trajectory')."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from vaura_tpu.models.convert import convert_motionformer_state_dict
+    from vaura_tpu.models.motionformer import MotionFormer, MotionFormerConfig
+
+    cfg = MotionFormerConfig(
+        img_size=32, patch_size=16, embed_dim=24, depth=2, num_heads=3,
+        temporal_resolution=2, z_block_size=2, attn_layer="trajectory",
+        factorize_space_time=False, dtype=jnp.float32,
+    )
+    D, L = cfg.embed_dim, cfg.depth
+    hw = cfg.num_spatial_patches
+
+    sd = {
+        "patch_embed_3d.proj.weight": torch.randn(D, 3, 2, 16, 16),
+        "patch_embed_3d.proj.bias": torch.randn(D),
+        "cls_token": torch.randn(1, 1, D),
+        "pos_embed": torch.randn(1, hw + 1, D),
+        "temp_embed": torch.randn(1, cfg.temporal_resolution, D),
+        "norm.weight": torch.ones(D),
+        "norm.bias": torch.zeros(D),
+    }
+    for i in range(L):
+        p = f"blocks.{i}"
+        for nm in ("norm1", "norm2"):
+            sd[f"{p}.{nm}.weight"] = torch.ones(D)
+            sd[f"{p}.{nm}.bias"] = torch.zeros(D)
+        sd[f"{p}.attn.qkv.weight"] = torch.randn(3 * D, D)
+        sd[f"{p}.attn.qkv.bias"] = torch.randn(3 * D)
+        sd[f"{p}.attn.proj_q.weight"] = torch.randn(D, D)
+        sd[f"{p}.attn.proj_q.bias"] = torch.randn(D)
+        sd[f"{p}.attn.proj_kv.weight"] = torch.randn(2 * D, D)
+        sd[f"{p}.attn.proj_kv.bias"] = torch.randn(2 * D)
+        sd[f"{p}.attn.proj.weight"] = torch.randn(D, D)
+        sd[f"{p}.attn.proj.bias"] = torch.randn(D)
+        sd[f"{p}.mlp.fc1.weight"] = torch.randn(4 * D, D)
+        sd[f"{p}.mlp.fc1.bias"] = torch.randn(4 * D)
+        sd[f"{p}.mlp.fc2.weight"] = torch.randn(D, 4 * D)
+        sd[f"{p}.mlp.fc2.bias"] = torch.randn(D)
+
+    converted = convert_motionformer_state_dict(sd, depth=L)
+
+    model = MotionFormer(cfg)
+    frames = jnp.zeros((1, 1, 3, 4, 32, 32))
+    init_params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        frames,
+    )["params"]
+    # identical tree structure and shapes
+    got = jax.tree.map(lambda x: jnp.asarray(x).shape, converted)
+    want = jax.tree.map(lambda x: x.shape, init_params)
+    assert got == want
+    # converted weights actually run
+    out, _ = model.apply(
+        {"params": jax.tree.map(jnp.asarray, converted)}, frames
+    )
+    assert np.isfinite(np.asarray(out)).all()

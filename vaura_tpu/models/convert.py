@@ -187,25 +187,62 @@ def convert_motionformer_state_dict(
             for key in fn[0]
         }
 
-    def block_tree(i: int) -> Dict[str, Any]:
-        p = f"blocks.{i}"
-        return {
-            "norm1": _layernorm(sd, f"{p}.norm1"),
-            "norm2": _layernorm(sd, f"{p}.norm2"),
-            "norm3": _layernorm(sd, f"{p}.norm3"),
-            "attn": {
-                "qkv": _linear(sd, f"{p}.attn.qkv"),
-                "proj": _linear(sd, f"{p}.attn.proj"),
-            },
-            "timeattn": {
-                "qkv": _linear(sd, f"{p}.timeattn.qkv"),
-                "proj": _linear(sd, f"{p}.timeattn.proj"),
-            },
-            "mlp": {
-                "fc1": _linear(sd, f"{p}.mlp.fc1"),
-                "fc2": _linear(sd, f"{p}.mlp.fc2"),
-            },
-        }
+    # detect the block variant from the torch key layout:
+    # trajectory (vit_helper.py:174) has attn.proj_q/proj_kv; divided
+    # (vit_helper.py:392) has a separate timeattn; joint has neither
+    if "blocks.0.attn.proj_q.weight" in sd:
+
+        def block_tree(i: int) -> Dict[str, Any]:
+            p = f"blocks.{i}"
+            return {
+                "norm1": _layernorm(sd, f"{p}.norm1"),
+                "norm2": _layernorm(sd, f"{p}.norm2"),
+                "attn_qkv": _linear(sd, f"{p}.attn.qkv"),
+                "attn_proj_q": _linear(sd, f"{p}.attn.proj_q"),
+                "attn_proj_kv": _linear(sd, f"{p}.attn.proj_kv"),
+                "attn_proj": _linear(sd, f"{p}.attn.proj"),
+                "mlp": {
+                    "fc1": _linear(sd, f"{p}.mlp.fc1"),
+                    "fc2": _linear(sd, f"{p}.mlp.fc2"),
+                },
+            }
+
+    elif "blocks.0.timeattn.qkv.weight" in sd:
+
+        def block_tree(i: int) -> Dict[str, Any]:
+            p = f"blocks.{i}"
+            return {
+                "norm1": _layernorm(sd, f"{p}.norm1"),
+                "norm2": _layernorm(sd, f"{p}.norm2"),
+                "norm3": _layernorm(sd, f"{p}.norm3"),
+                "attn": {
+                    "qkv": _linear(sd, f"{p}.attn.qkv"),
+                    "proj": _linear(sd, f"{p}.attn.proj"),
+                },
+                "timeattn": {
+                    "qkv": _linear(sd, f"{p}.timeattn.qkv"),
+                    "proj": _linear(sd, f"{p}.timeattn.proj"),
+                },
+                "mlp": {
+                    "fc1": _linear(sd, f"{p}.mlp.fc1"),
+                    "fc2": _linear(sd, f"{p}.mlp.fc2"),
+                },
+            }
+
+    else:  # joint space-time attention
+
+        def block_tree(i: int) -> Dict[str, Any]:
+            p = f"blocks.{i}"
+            return {
+                "norm1": _layernorm(sd, f"{p}.norm1"),
+                "norm2": _layernorm(sd, f"{p}.norm2"),
+                "attn_qkv": _linear(sd, f"{p}.attn.qkv"),
+                "attn_proj": _linear(sd, f"{p}.attn.proj"),
+                "mlp": {
+                    "fc1": _linear(sd, f"{p}.mlp.fc1"),
+                    "fc2": _linear(sd, f"{p}.mlp.fc2"),
+                },
+            }
 
     import jax
 
