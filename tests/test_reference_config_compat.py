@@ -67,6 +67,45 @@ def test_reference_generate_config_loads():
     assert out.shape[-3:] == (224, 224, 3) or out.shape[-2:] == (224, 224)
 
 
+def _all_reference_experiment_configs():
+    if not REF.exists():
+        return []
+    return sorted((REF / "configs" / "experiments").rglob("*.yaml"))
+
+
+@pytest.mark.parametrize(
+    "cfg_path",
+    _all_reference_experiment_configs(),
+    ids=lambda p: p.stem,
+)
+def test_every_reference_experiment_config_builds(cfg_path):
+    """Every training config shipped by the reference (including the
+    ImageBind-filtering study variants) assembles and builds a system
+    through our registry aliases without edits."""
+    cfg = assemble_config(
+        [f"config={cfg_path}"],
+        defaults_path=REF / "configs" / "vaura_defaults.yaml",
+        base_dir=REF,
+    )
+    system = build_system(cfg["model"])
+    assert system.sampler_config.num_codebooks == 9
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["generate_vgg", "generate_vas", "generate_vgg_sparse", "generate_visualsound"],
+)
+def test_every_reference_generate_config_loads(name):
+    cfg = assemble_config(
+        [f"config={REF / 'configs' / (name + '.yaml')}"],
+        defaults_path=REF / "configs" / "vaura_defaults.yaml",
+        base_dir=REF,
+    )
+    assert cfg["action"] == "generate"
+    for c in cfg["dataloader"]["video_transforms_test"]:
+        assert instantiate_from_config(c) is not None
+
+
 def test_reference_defaults_interpolations():
     cfg = assemble_config(
         [

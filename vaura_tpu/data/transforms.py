@@ -78,10 +78,12 @@ class Normalize:
 
 
 class Permute:
-    """Axis permutation (reference ``Permute``)."""
+    """Axis permutation (reference ``video_transforms.Permute``, which
+    names the argument ``permutation``)."""
 
-    def __init__(self, dims: Sequence[int]):
-        self.dims = tuple(dims)
+    def __init__(self, dims: Sequence[int] = None, permutation: Sequence[int] = None):
+        assert (dims is None) != (permutation is None), "pass dims or permutation"
+        self.dims = tuple(dims if dims is not None else permutation)
 
     def __call__(self, x):
         return np.transpose(x, self.dims)
