@@ -42,6 +42,8 @@ _RULES: Tuple[Tuple[str, Tuple[Optional[str], ...]], ...] = (
     (r"cls_embeddings/.*/kernel", (None, "model")),
     # --- visual encoder (ViT) blocks ---
     (r"blocks/.*(qkv|fc1|in_proj|linear1)/kernel", ("fsdp", "model")),
+    # trajectory attention temporal-step projections (column-split)
+    (r"blocks/.*attn_proj_(q|kv)/kernel", ("fsdp", "model")),
     (r"blocks/.*(proj|fc2|out_proj|linear2)/kernel", ("model", "fsdp")),
     (r"patch_embed_3d/kernel", (None, None, None, None, "model")),
     # --- DAC codec: small convs, replicate ---
