@@ -33,7 +33,10 @@ TOKENS_PER_SECOND = 86  # DAC 44.1kHz frame rate (reference generate.py:30)
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    # B=128 is the measured single-chip throughput sweet spot (int8 cache
+    # ~8.6 GB; B=160 exhausts the 16 GB HBM): 49.1 (B=32) -> 55.2 (64)
+    # -> 56.9 (96) -> 58.7 (128) audio-sec/s full pipeline
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--tokens", type=int, default=221)
     ap.add_argument("--cfg-scale", type=float, default=6.0)
     ap.add_argument("--top-k", type=int, default=128)

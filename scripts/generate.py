@@ -226,8 +226,18 @@ def generate(cfg: dict) -> dict:
                     **sampling,
                 )
             audio = np.asarray(item["audio"])
+            codes = (
+                np.asarray(item["codes"])
+                if cfg.get("return_sampled_indices")
+                else None
+            )
             for i in range(audio.shape[0]):
                 fn = Path(batch["meta"]["filepath"][i]).name
+                if codes is not None:
+                    # sampled codebook indices for token-distribution
+                    # analysis (reference generate.py:316,358 +
+                    # vaura_model.py:594-595)
+                    np.save(out_dir / f"{Path(fn).stem}.codes.npy", codes[i])
                 orig_frames = None
                 if cfg.get("save_video", True):
                     # re-read the source video so the mux carries original

@@ -58,6 +58,7 @@ def test_generate_action(dummy_cfg, tmp_path):
     cfg["dataloader"]["batch_size"] = 1
     cfg["dataset_to_use"] = "test"
     cfg["max_batches"] = 1
+    cfg["return_sampled_indices"] = True
     result = generate(cfg)
     assert result["num_generated"] >= 1
     wavs = list((tmp_path / "gen").glob("*.wav"))
@@ -67,6 +68,12 @@ def test_generate_action(dummy_cfg, tmp_path):
     wav, sr = read_wav(wavs[0])
     assert sr == 44100
     assert wav.shape[-1] > 0
+    # sampled codebook indices saved for analysis (reference
+    # return_sampled_indices, generate.py:316)
+    codes_files = list((tmp_path / "gen").glob("*.codes.npy"))
+    assert codes_files, "no sampled-indices file written"
+    codes = np.load(codes_files[0])
+    assert codes.ndim == 2 and codes.shape[0] >= 1  # [K, T]
 
 
 def test_finetune_action(dummy_cfg, tmp_path):
