@@ -353,9 +353,12 @@ class Trainer:
             fr.transpose(0, 2, 3, 4, 1).reshape(-1, *fr.shape[-2:], fr.shape[1])
         )
         self.tb.video(f"conditioned_frames/{name}", video, step, fps=25)
-        self.tb.histogram(
-            f"sampled_indices/{name}", np.asarray(out["codes"]).ravel(), step
-        )
+        if self.model_cfg.get("plot_distr_of_pred_indices", True):
+            # predicted-token-index distribution (reference
+            # ``plot_distr_of_pred_indices``, vaura_model.py:651-668)
+            self.tb.histogram(
+                f"sampled_indices/{name}", np.asarray(out["codes"]).ravel(), step
+            )
         if self.model_cfg.get("return_attention_weights"):
             # teacher-forced forward over the generated codes with sown
             # attention probs -> per-step attention-row video (reference
