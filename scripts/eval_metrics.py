@@ -23,27 +23,12 @@ import logging
 from pathlib import Path
 
 import numpy as np
-from scipy import signal as _signal
-
 from vaura_tpu.ops.audio import integrated_loudness, read_wav, resample_poly
 
 logger = logging.getLogger(__name__)
 
 
-def log_mel(wav: np.ndarray, sr: int, n_fft: int, n_mels: int = 64) -> np.ndarray:
-    f, t, spec = _signal.stft(wav, fs=sr, nperseg=n_fft, noverlap=n_fft * 3 // 4)
-    power = np.abs(spec) ** 2
-    # triangular mel filterbank
-    mel_f = 2595 * np.log10(1 + f / 700)
-    mel_pts = np.linspace(mel_f.min(), mel_f.max(), n_mels + 2)
-    fb = np.zeros((n_mels, len(f)))
-    for m in range(n_mels):
-        lo, mid, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
-        up = (mel_f - lo) / max(mid - lo, 1e-9)
-        down = (hi - mel_f) / max(hi - mid, 1e-9)
-        fb[m] = np.clip(np.minimum(up, down), 0, 1)
-    mel = fb @ power
-    return np.log(mel + 1e-8)
+from vaura_tpu.ops.audio import log_mel  # noqa: E402  (shared with ops.fad)
 
 
 def spectral_distance(a: np.ndarray, b: np.ndarray, sr: int) -> float:
@@ -88,15 +73,32 @@ def main() -> None:
     ap.add_argument("generated_dir", type=Path)
     ap.add_argument("reference_dir", type=Path)
     ap.add_argument("--out", type=Path, default=None)
+    ap.add_argument(
+        "--fad", action="store_true",
+        help="also compute a set-level Frechet distance over log-mel "
+             "statistics embeddings (vaura_tpu.ops.fad; a pretrained-"
+             "classifier-free stand-in for published FAD numbers)",
+    )
     args = ap.parse_args()
 
     results = {}
+    gen_embs, ref_embs = [], []
+    embedder = None
+    if args.fad:
+        from vaura_tpu.ops.fad import MelStatsEmbedder
+
+        embedder = MelStatsEmbedder()
     for gen in sorted(args.generated_dir.glob("*.wav")):
         ref = args.reference_dir / gen.name
         if not ref.exists():
             logger.warning("no reference for %s", gen.name)
             continue
         results[gen.stem] = evaluate_pair(gen, ref)
+        if embedder is not None:
+            g, gsr = read_wav(gen)
+            r, rsr = read_wav(ref)
+            gen_embs.append(embedder(g[0], gsr))
+            ref_embs.append(embedder(r[0], rsr))
     if not results:
         logger.error("no pairs evaluated")
         return
@@ -104,6 +106,12 @@ def main() -> None:
         key: float(np.mean([r[key] for r in results.values()]))
         for key in next(iter(results.values()))
     }
+    if embedder is not None and len(gen_embs) > 1:
+        from vaura_tpu.ops.fad import frechet_audio_distance
+
+        agg["fad_melstats"] = frechet_audio_distance(
+            np.stack(ref_embs), np.stack(gen_embs)
+        )
     report = {"per_file": results, "mean": agg, "n": len(results)}
     print(json.dumps(agg, indent=2))
     if args.out:

@@ -193,3 +193,28 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     else:
         raise ValueError(f"unsupported sample width {width}")
     return data.reshape(-1, ch).T, sr
+
+
+def log_mel(
+    wav: np.ndarray, sr: int, n_fft: int = 1024, n_mels: int = 64
+) -> np.ndarray:
+    """Log-mel spectrogram ``[n_mels, T]`` (triangular filterbank over an
+    STFT power spectrum; 75% overlap). Shared by the objective eval
+    metrics (``scripts/eval_metrics.py``) and the offline FAD embedder
+    (``vaura_tpu.ops.fad.MelStatsEmbedder``)."""
+    from scipy import signal as _signal
+
+    f, _t, spec = _signal.stft(
+        np.asarray(wav, np.float32).reshape(-1), fs=sr, nperseg=n_fft,
+        noverlap=n_fft * 3 // 4,
+    )
+    power = np.abs(spec) ** 2
+    mel_f = 2595 * np.log10(1 + f / 700)
+    mel_pts = np.linspace(mel_f.min(), mel_f.max(), n_mels + 2)
+    fb = np.zeros((n_mels, len(f)))
+    for m in range(n_mels):
+        lo, mid, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
+        up = (mel_f - lo) / max(mid - lo, 1e-9)
+        down = (hi - mel_f) / max(hi - mid, 1e-9)
+        fb[m] = np.clip(np.minimum(up, down), 0, 1)
+    return np.log(fb @ power + 1e-8)
