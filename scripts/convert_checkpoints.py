@@ -14,6 +14,12 @@ Usage::
 
 from __future__ import annotations
 
+if __package__ in (None, ""):  # direct `python scripts/X.py` invocation
+    import sys as _sys
+    from pathlib import Path as _P
+
+    _sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
+
 import argparse
 import logging
 from pathlib import Path

@@ -5,6 +5,12 @@ libav module (no ffmpeg subprocess) with a process pool."""
 
 from __future__ import annotations
 
+if __package__ in (None, ""):  # direct `python scripts/X.py` invocation
+    import sys as _sys
+    from pathlib import Path as _P
+
+    _sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
+
 import argparse
 import logging
 import multiprocessing as mp
