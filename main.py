@@ -53,11 +53,25 @@ def main(argv=None) -> int:
 
         generate(cfg)
     elif action == "eval":
-        print(
-            "Evaluation lives in an external framework "
-            "(see reference README.md:93): run generate first, then point "
-            "the eval tooling at the output directory."
-        )
+        gen_dir = cfg.get("generated_dir") or cfg.get("output_dir")
+        ref_dir = cfg.get("reference_dir")
+        if gen_dir and ref_dir:
+            # in-repo objective metrics (mel-L1 / SI-SNR / LUFS delta /
+            # melstats-FAD); pretrained-classifier FAD/KLD still lives in
+            # external frameworks like the reference (README.md:93)
+            import json as _json
+
+            from scripts.eval_metrics import evaluate_dirs
+
+            report = evaluate_dirs(gen_dir, ref_dir, fad=bool(cfg.get("fad")))
+            print(_json.dumps(report["mean"], indent=2))
+        else:
+            print(
+                "eval: pass generated_dir=... reference_dir=... for the "
+                "in-repo objective metrics (scripts/eval_metrics.py), or "
+                "use an external FAD/KLD framework as the reference does "
+                "(reference README.md:93)."
+            )
     elif action == "finetune":
         # goes beyond the reference, which raises NotImplementedError here
         # (reference main.py:114-115)

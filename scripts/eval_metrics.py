@@ -73,6 +73,44 @@ def evaluate_pair(gen_path: Path, ref_path: Path) -> dict:
     }
 
 
+def evaluate_dirs(
+    generated_dir: Path, reference_dir: Path, fad: bool = False
+) -> dict:
+    """Pairwise metrics over ``<stem>.wav`` pairs + optional set-level
+    melstats-FAD. Returns ``{"per_file", "mean", "n"}``."""
+    results = {}
+    gen_embs, ref_embs = [], []
+    embedder = None
+    if fad:
+        from vaura_tpu.ops.fad import MelStatsEmbedder
+
+        embedder = MelStatsEmbedder()
+    for gen in sorted(Path(generated_dir).glob("*.wav")):
+        ref = Path(reference_dir) / gen.name
+        if not ref.exists():
+            logger.warning("no reference for %s", gen.name)
+            continue
+        results[gen.stem] = evaluate_pair(gen, ref)
+        if embedder is not None:
+            g, gsr = read_wav(gen)
+            r, rsr = read_wav(ref)
+            gen_embs.append(embedder(g[0], gsr))
+            ref_embs.append(embedder(r[0], rsr))
+    if not results:
+        return {"per_file": {}, "mean": {}, "n": 0}
+    agg = {
+        key: float(np.mean([r[key] for r in results.values()]))
+        for key in next(iter(results.values()))
+    }
+    if embedder is not None and len(gen_embs) > 1:
+        from vaura_tpu.ops.fad import frechet_audio_distance
+
+        agg["fad_melstats"] = frechet_audio_distance(
+            np.stack(ref_embs), np.stack(gen_embs)
+        )
+    return {"per_file": results, "mean": agg, "n": len(results)}
+
+
 def main() -> None:
     logging.basicConfig(level=logging.INFO)
     ap = argparse.ArgumentParser(description=__doc__)
@@ -87,39 +125,11 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    results = {}
-    gen_embs, ref_embs = [], []
-    embedder = None
-    if args.fad:
-        from vaura_tpu.ops.fad import MelStatsEmbedder
-
-        embedder = MelStatsEmbedder()
-    for gen in sorted(args.generated_dir.glob("*.wav")):
-        ref = args.reference_dir / gen.name
-        if not ref.exists():
-            logger.warning("no reference for %s", gen.name)
-            continue
-        results[gen.stem] = evaluate_pair(gen, ref)
-        if embedder is not None:
-            g, gsr = read_wav(gen)
-            r, rsr = read_wav(ref)
-            gen_embs.append(embedder(g[0], gsr))
-            ref_embs.append(embedder(r[0], rsr))
-    if not results:
+    report = evaluate_dirs(args.generated_dir, args.reference_dir, args.fad)
+    if report["n"] == 0:
         logger.error("no pairs evaluated")
         return
-    agg = {
-        key: float(np.mean([r[key] for r in results.values()]))
-        for key in next(iter(results.values()))
-    }
-    if embedder is not None and len(gen_embs) > 1:
-        from vaura_tpu.ops.fad import frechet_audio_distance
-
-        agg["fad_melstats"] = frechet_audio_distance(
-            np.stack(ref_embs), np.stack(gen_embs)
-        )
-    report = {"per_file": results, "mean": agg, "n": len(results)}
-    print(json.dumps(agg, indent=2))
+    print(json.dumps(report["mean"], indent=2))
     if args.out:
         args.out.write_text(json.dumps(report, indent=2))
         logger.info("wrote %s", args.out)
