@@ -113,3 +113,31 @@ def test_train_then_generate_from_experiment(dummy_cfg, tmp_path):
     result = generate(cfg)
     assert result["num_generated"] >= 1
     assert list((tmp_path / "gen2").glob("*.wav"))
+
+
+def test_train_resume_from_checkpoint(dummy_cfg):
+    """trainer.ckpt_path resumes a previous run's optimizer state + step
+    (reference Lightning ``ckpt_path`` resume; loop.py fit(resume_path))."""
+    import json
+
+    from scripts.train import train
+
+    cfg = dict(dummy_cfg)
+    cfg["trainer"] = dict(cfg["trainer"])
+    cfg["trainer"]["fast_dev_run"] = False
+    cfg["trainer"]["max_epochs"] = 1
+    cfg["trainer"]["limit_train_batches"] = 2
+    cfg["trainer"]["limit_val_batches"] = 1
+    first = train(cfg)
+    last = first["dirs"]["checkpoints"] / "last"
+    step1 = json.loads((last / "meta.json").read_text())["step"]
+    assert step1 > 0
+
+    cfg2 = dict(cfg)
+    cfg2["trainer"] = dict(cfg["trainer"])
+    cfg2["trainer"]["ckpt_path"] = str(last)
+    second = train(cfg2)
+    last2 = second["dirs"]["checkpoints"] / "last"
+    step2 = json.loads((last2 / "meta.json").read_text())["step"]
+    assert step2 > step1  # optimizer step counter continued, not reset
+    assert np.isfinite(second["metrics"]["test_loss"])
