@@ -112,6 +112,17 @@ def install_stubs() -> None:
     timm.models.registry = _module(
         "timm.models.registry", register_model=register_model
     )
+
+    # --- omegaconf (import-time only: the avclip wrapper imports OmegaConf
+    # at module level but we never construct the full MotionFormer class,
+    # only its aggregation-layer classes which don't touch it) -----------
+    class _OmegaConfUnavailable:
+        def __getattr__(self, name):
+            raise RuntimeError(
+                "omegaconf stub: reference config loading is not exercised"
+            )
+
+    _module("omegaconf", OmegaConf=_OmegaConfUnavailable())
     _installed = True
 
 

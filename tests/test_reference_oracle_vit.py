@@ -1,0 +1,272 @@
+"""Visual-encoder parity against the ACTUAL reference Motionformer source.
+
+Imports the reference's vendored ``motionformer_src.video_model_builder``
+(+ the avclip wrapper's aggregation layers) via the shims in
+``ref_oracle.py`` and checks our flax MotionFormer — with weights moved
+through ``convert_motionformer_state_dict`` — against it:
+
+* divided space-time blocks end-to-end (VisionTransformer.forward_features
+  -> drop CLS -> norm, reference motionformer.py:305-342)
+* the full feature-extraction wrapper incl. per-frame spatial CLS
+  aggregation (SpatialTransformerEncoderLayer), temporal aggregation and
+  the global segment aggregation with positional embedding
+* joint space-time and trajectory attention block variants
+
+Small dims (D=24, depth=2) at the real 224x16 patch geometry, float32.
+"""
+
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ref_oracle import import_ref
+
+torch = pytest.importorskip("torch")
+
+D, DEPTH, HEADS, TRES, Z = 24, 2, 3, 2, 2
+CROP, PATCH = 224, 16
+HW = (CROP // PATCH) ** 2  # 196
+
+
+def _ns(**kw):
+    return types.SimpleNamespace(**kw)
+
+
+def _vit_cfg(attn_layer: str):
+    """The nested config VisionTransformer reads (video_model_builder.py:
+    20-42); the reference builds it from divided_224_16x4.yaml via OmegaConf
+    (motionformer.py:115-141) — equivalent attribute tree here."""
+    return _ns(
+        DATA=_ns(TRAIN_CROP_SIZE=CROP),
+        TRAIN=_ns(DATASET="vggsound"),
+        MODEL=_ns(NUM_CLASSES=0),
+        VIT=_ns(
+            PATCH_SIZE=PATCH,
+            PATCH_SIZE_TEMP=Z,
+            CHANNELS=3,
+            EMBED_DIM=D,
+            DEPTH=DEPTH,
+            NUM_HEADS=HEADS,
+            MLP_RATIO=4,
+            QKV_BIAS=True,
+            VIDEO_INPUT=True,
+            TEMPORAL_RESOLUTION=TRES,
+            USE_MLP=False,
+            DROP=0.0,
+            POS_DROPOUT=0.0,
+            DROP_PATH=0.0,
+            HEAD_DROPOUT=0.0,
+            ATTN_DROPOUT=0.0,
+            HEAD_ACT="tanh",
+            POS_EMBED="separate",
+            ATTN_LAYER=attn_layer,
+            USE_ORIGINAL_TRAJ_ATTN_CODE=True,
+            APPROX_ATTN_TYPE="none",
+            APPROX_ATTN_DIM=64,
+        ),
+    )
+
+
+def _build_ref_vit(attn_layer: str, seed: int = 0):
+    vmb = import_ref("motionformer_src.video_model_builder")
+    torch.manual_seed(seed)
+    vt = vmb.VisionTransformer(_vit_cfg(attn_layer))
+    # the builder zeroes the 3D patch-embed kernel at init
+    # (video_model_builder.py:61, overwritten by real ckpts) and keeps
+    # temp_embed at zeros — randomize both for a meaningful parity check
+    torch.nn.init.normal_(vt.patch_embed_3d.proj.weight, std=0.02)
+    torch.nn.init.normal_(vt.temp_embed, std=0.02)
+    vt.eval()
+    return vt
+
+
+def _enc_layer_kwargs():
+    # reference motionformer.py:170-179
+    return dict(
+        d_model=D,
+        nhead=HEADS,
+        activation=torch.nn.GELU(),
+        batch_first=True,
+        dim_feedforward=4 * D,
+        dropout=0.0,
+        layer_norm_eps=1e-6,
+        norm_first=True,
+    )
+
+
+def _our_config(attn_layer: str, **kw):
+    from vaura_tpu.models.motionformer import MotionFormerConfig
+
+    return MotionFormerConfig(
+        img_size=CROP,
+        patch_size=PATCH,
+        embed_dim=D,
+        depth=DEPTH,
+        num_heads=HEADS,
+        temporal_resolution=TRES,
+        z_block_size=Z,
+        drop_path_rate=0.0,
+        attn_layer=attn_layer,
+        dtype=jnp.float32,
+        **kw,
+    )
+
+
+def _ref_tokens_normed(vt, x, attn_layer="divided"):
+    """Reference feature path before space-time factorization:
+    forward_features -> drop CLS -> final norm (motionformer.py:309-317).
+
+    For joint/trajectory the reference's forward_features is itself broken
+    (it passes ``tok_mask=`` to vit_helper.Block which doesn't accept it —
+    the pinned production config is divided), so we replicate its exact
+    prologue (video_model_builder.py:182-268) and drive the real blocks
+    directly."""
+    with torch.no_grad():
+        if attn_layer == "divided":
+            feats, _ = vt.forward_features([x])
+            return vt.norm(feats[:, 1:])
+        h = vt.patch_embed_3d(x)  # (BS, t*hw, D)
+        B = h.shape[0]
+        h = torch.cat((vt.cls_token.expand(B, -1, -1), h), dim=1)
+        cls_embed = vt.pos_embed[:, 0:1]
+        tile_pos = vt.pos_embed[:, 1:].repeat(1, TRES, 1)
+        tile_temp = vt.temp_embed.repeat_interleave(HW, 1)
+        h = h + torch.cat([cls_embed, tile_pos + tile_temp], dim=1)
+        for blk in vt.blocks:
+            h = blk(h, seq_len=HW, num_frames=TRES, approx="none",
+                    num_landmarks=64)
+        return vt.norm(h[:, 1:])
+
+
+def _convert(vt, extra_prefixed=None):
+    from vaura_tpu.models.convert import convert_motionformer_state_dict
+
+    sd = dict(vt.state_dict())
+    if extra_prefixed:
+        for prefix, module in extra_prefixed.items():
+            for k, v in module.state_dict().items():
+                sd[f"{prefix}.{k}"] = v
+    return convert_motionformer_state_dict(sd, depth=DEPTH)
+
+
+@pytest.mark.parametrize("attn_layer", ["divided", "joint", "trajectory"])
+def test_vit_tokens_parity_vs_reference(attn_layer):
+    """Token features after the block stack + final norm match the real
+    vendored VisionTransformer (video_model_builder.py:174-274) for all
+    three attention variants (vit_helper.py:47,80,174)."""
+    from vaura_tpu.models.motionformer import MotionFormer
+
+    vt = _build_ref_vit(attn_layer)
+    B, S = 1, 2
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(B * S, 3, TRES * Z, CROP, CROP)).astype(np.float32)
+
+    ref = _ref_tokens_normed(
+        vt, torch.from_numpy(x), attn_layer
+    ).numpy()  # [BS, t*hw, D]
+
+    cfg = _our_config(attn_layer, factorize_space_time=False)
+    params = _convert(vt)
+    ours, _ = MotionFormer(cfg).apply(
+        {"params": params},
+        jnp.asarray(x.reshape(B, S, 3, TRES * Z, CROP, CROP)),
+        False,
+    )
+    np.testing.assert_allclose(
+        ref.reshape(B, S, TRES * HW, D), np.asarray(ours), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_wrapper_spatial_temporal_global_agg_parity():
+    """Full Segment-AVCLIP feature wrapper: divided ViT -> per-frame spatial
+    CLS aggregation -> temporal CLS aggregation -> global segment
+    aggregation with pos emb (reference motionformer.py:180-215,305-342),
+    using the reference's own SpatialTransformerEncoderLayer /
+    TemporalTransformerEncoderLayer as oracles."""
+    from vaura_tpu.models.motionformer import MotionFormer
+
+    mf = import_ref("models.modules.feature_extractors.avclip.motionformer")
+    vt = _build_ref_vit("divided", seed=1)
+    torch.manual_seed(2)
+    sagg = mf.SpatialTransformerEncoderLayer(**_enc_layer_kwargs())
+    tagg = mf.TemporalTransformerEncoderLayer(**_enc_layer_kwargs())
+    gagg = mf.TemporalTransformerEncoderLayer(
+        add_pos_emb=True, pos_emb_drop=0.0, pos_max_len=16, **_enc_layer_kwargs()
+    )
+    torch.nn.init.normal_(gagg.pos_emb, std=0.02)
+    for m in (sagg, tagg, gagg):
+        m.eval()
+
+    B, S = 1, 3
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(B * S, 3, TRES * Z, CROP, CROP)).astype(np.float32)
+
+    with torch.no_grad():
+        tokens = _ref_tokens_normed(vt, torch.from_numpy(x))  # [BS, t*hw, D]
+        grid = tokens.permute(0, 2, 1).view(B * S, D, TRES, CROP // PATCH,
+                                            CROP // PATCH)
+        per_frame = sagg(grid)  # [BS, t, D]
+        per_seg = tagg(per_frame)  # [BS, D]
+        local = per_seg.view(B, S, D)
+        global_repr = gagg(local)  # [B, D]
+
+    cfg = _our_config(
+        "divided",
+        factorize_space_time=True,
+        agg_space_module="TransformerEncoderLayer",
+        agg_time_module="TransformerEncoderLayer",
+        add_global_repr=True,
+        agg_segments_module="TransformerEncoderLayer",
+        max_segments=16,
+    )
+    params = _convert(
+        vt,
+        {"spatial_attn_agg": sagg, "temp_attn_agg": tagg, "global_attn_agg": gagg},
+    )
+    ours_local, ours_global = MotionFormer(cfg).apply(
+        {"params": params},
+        jnp.asarray(x.reshape(B, S, 3, TRES * Z, CROP, CROP)),
+        False,
+    )
+    np.testing.assert_allclose(
+        local.numpy(), np.asarray(ours_local), rtol=3e-4, atol=3e-4
+    )
+    np.testing.assert_allclose(
+        global_repr.numpy(), np.asarray(ours_global), rtol=3e-4, atol=3e-4
+    )
+
+
+def test_wrapper_identity_time_agg_parity():
+    """The flagship configuration (agg_time_module=Identity): output is
+    per-frame features (B, S, t, D) — reference motionformer.py:334-336."""
+    from vaura_tpu.models.motionformer import MotionFormer
+
+    mf = import_ref("models.modules.feature_extractors.avclip.motionformer")
+    vt = _build_ref_vit("divided", seed=3)
+    torch.manual_seed(4)
+    sagg = mf.SpatialTransformerEncoderLayer(**_enc_layer_kwargs())
+    sagg.eval()
+
+    B, S = 2, 1
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(B * S, 3, TRES * Z, CROP, CROP)).astype(np.float32)
+    with torch.no_grad():
+        tokens = _ref_tokens_normed(vt, torch.from_numpy(x))
+        grid = tokens.permute(0, 2, 1).view(B * S, D, TRES, CROP // PATCH,
+                                            CROP // PATCH)
+        ref = sagg(grid).view(B, S, TRES, D)
+
+    cfg = _our_config("divided", factorize_space_time=True,
+                      agg_time_module="Identity")
+    params = _convert(vt, {"spatial_attn_agg": sagg})
+    ours, _ = MotionFormer(cfg).apply(
+        {"params": params},
+        jnp.asarray(x.reshape(B, S, 3, TRES * Z, CROP, CROP)),
+        False,
+    )
+    np.testing.assert_allclose(
+        ref.numpy(), np.asarray(ours), rtol=3e-4, atol=3e-4
+    )

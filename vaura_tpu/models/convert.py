@@ -250,9 +250,11 @@ def convert_motionformer_state_dict(
     params["blocks"] = jax.tree.map(lambda *xs: np.stack(xs), *blocks)
     params["norm"] = _layernorm(sd, "norm")
 
-    if "spatial_attn_agg.cls_token" in sd:
-        p = "spatial_attn_agg"
-        params["spatial_attn_agg"] = {
+    # CLS-token aggregation layers (reference BaseEncoderLayer,
+    # motionformer.py:367-462): spatial (per-frame), temporal (per-segment)
+    # and global (over segments, with positional embedding) share one layout
+    def _agg_layer(p: str) -> Dict[str, Any]:
+        out = {
             "cls_token": _np(sd[f"{p}.cls_token"]),
             "in_proj": {
                 "kernel": _np(sd[f"{p}.self_attn.in_proj_weight"]).T,
@@ -264,6 +266,13 @@ def convert_motionformer_state_dict(
             "norm1": _layernorm(sd, f"{p}.norm1"),
             "norm2": _layernorm(sd, f"{p}.norm2"),
         }
+        if f"{p}.pos_emb" in sd:
+            out["pos_emb"] = _np(sd[f"{p}.pos_emb"])
+        return out
+
+    for agg in ("spatial_attn_agg", "temp_attn_agg", "global_attn_agg"):
+        if f"{agg}.cls_token" in sd:
+            params[agg] = _agg_layer(agg)
     return params
 
 
