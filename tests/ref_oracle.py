@@ -134,6 +134,73 @@ def import_ref(name: str):
     return importlib.import_module(name)
 
 
+_vaura_shims_installed = False
+
+
+def import_ref_vaura_model():
+    """Import the reference's composite ``models.vaura_model`` module.
+
+    Beyond :func:`install_stubs` this needs:
+      * ``pytorch_lightning.LightningModule`` — a plain ``nn.Module``
+        subclass with no-op ``save_hyperparameters``/``log`` (the parity
+        tests never run a Trainer);
+      * ``av`` — imported by ``utils/utils.py`` at module level, used only
+        inside ``write_video`` which the tests don't call;
+      * fake ``utils.train_utils`` / ``utils.data_utils`` modules exposing
+        just the names ``vaura_model.py:18-23`` imports — the real ones
+        pull the whole Lightning + datamodule dependency web (torchaudio,
+        torchvision, pyloudnorm) that isn't installed here.  None of the
+        faked names participate in the code paths under test
+        (``disabled_train`` is a freeze helper; the attn-video and
+        ``scale_tensor`` helpers are TB-logging only).
+    """
+    global _vaura_shims_installed
+    install_stubs()
+    if not _vaura_shims_installed:
+        import torch.nn as torch_nn
+
+        class LightningModule(torch_nn.Module):
+            def save_hyperparameters(self, *a, **k):
+                pass
+
+            def log(self, *a, **k):
+                pass
+
+        _module("pytorch_lightning", LightningModule=LightningModule)
+        _module("av")
+
+        def disabled_train(self, mode=True):
+            return self
+
+        def _logging_only(*a, **k):
+            raise RuntimeError("TB-logging helper stub: not under test")
+
+        _module(
+            "utils.train_utils",
+            disabled_train=disabled_train,
+            generate_video_from_attn_weights=_logging_only,
+            combine_attn_weights_to_tensor=_logging_only,
+        )
+        _module("utils.data_utils", scale_tensor=_logging_only)
+        _vaura_shims_installed = True
+    import importlib
+
+    return importlib.import_module("models.vaura_model")
+
+
+def bind_vaura_methods(dummy, *names):
+    """Bind reference ``VAURAModel`` methods onto a duck-typed dummy object
+    so composite-level code paths (generate, loss) run the REAL reference
+    implementation against attributes we control."""
+    import types as _types
+
+    vm = import_ref_vaura_model()
+    for name in names:
+        fn = getattr(vm.VAURAModel, name)
+        setattr(dummy, name, _types.MethodType(fn, dummy))
+    return dummy
+
+
 def make_fake_dac(num_codebooks: int, codebook_dim: int, vocab: int,
                   token_dim: int, seed: int = 0):
     """A minimal object satisfying what ``Transformer.initialize_embeddings``

@@ -218,6 +218,7 @@ class VauraSystem:
         rng: jax.Array,
         train: bool = True,
         vis_feats: Optional[jax.Array] = None,
+        codes: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Teacher-forced loss (reference ``forward`` + ``_compute_loss``,
         ``vaura_model.py:136-295``). Returns ``(loss, aux)`` with
@@ -227,14 +228,18 @@ class VauraSystem:
         non-``flatten_vis_feats`` training mode, reference
         ``_stack_list_repr``/``_shared_step``, ``vaura_model.py:229-287``)
         is folded into the batch axis with the matching per-clip frames.
+
+        ``codes`` (``[B, K, Ta]`` int) bypasses the DAC encode — for
+        datasets with precomputed codec tokens and for parity tests.
         """
         K = self.num_codebooks
-        if audio.ndim == 4:
-            B0, n_clips = audio.shape[:2]
-            audio = audio.reshape(B0 * n_clips, *audio.shape[2:])
-            if frames is not None and frames.shape[1] == n_clips:
-                frames = frames.reshape(B0 * n_clips, 1, *frames.shape[2:])
-        codes = self.encode_audio(params, audio)  # [B, K, Ta]
+        if codes is None:
+            if audio.ndim == 4:
+                B0, n_clips = audio.shape[:2]
+                audio = audio.reshape(B0 * n_clips, *audio.shape[2:])
+                if frames is not None and frames.shape[1] == n_clips:
+                    frames = frames.reshape(B0 * n_clips, 1, *frames.shape[2:])
+            codes = self.encode_audio(params, audio)  # [B, K, Ta]
         codes = jax.lax.stop_gradient(codes)
         B, _, Ta = codes.shape
 
