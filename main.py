@@ -40,6 +40,16 @@ def main(argv=None) -> int:
     action = cfg.get("action")
     logger.setLevel(logging.INFO)
 
+    # trainer.platform=cpu|tpu|gpu forces the JAX backend before first
+    # device use (the reference delegates this to Lightning's
+    # `accelerator`, configs/vaura_defaults.yaml:49). Essential for smoke
+    # runs on machines where the default backend is an exclusive TPU.
+    platform = (cfg.get("trainer") or {}).get("platform")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", str(platform))
+
     if action == "train":
         from scripts.train import train
 
