@@ -66,6 +66,15 @@ def _providers(ref_cp):
             ),
         ),
         (
+            "unrolled-delayed",
+            ref_cp.UnrolledPatternProvider(
+                K, flattening=[0, 1, 1, 2, 2], delays=[0, 1, 1, 2, 2]
+            ),
+            ours.UnrolledPatternProvider(
+                K, flattening=[0, 1, 1, 2, 2], delays=[0, 1, 1, 2, 2]
+            ),
+        ),
+        (
             "valle",
             ref_cp.VALLEPattern(K, delays=[0, 1, 1, 2]),
             ours.VALLEPattern(K, delays=[0, 1, 1, 2]),

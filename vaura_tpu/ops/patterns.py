@@ -13,6 +13,12 @@ gathers with fully static shapes, so they fuse into surrounding jitted code
 and never recompile per step. Index tables are lru-cached per call shape,
 mirroring the reference's ``lru_cache`` on its scatter-index builders
 (``codebook_patterns.py:55-59``).
+
+Derivation note: the provider *layouts* are a behavioral contract defined
+by the reference (which vendors them from AudioCraft, MIT); each
+``get_pattern`` here derives the same layout from its own formulation and
+is locked bit-exactly against the reference implementation by
+``tests/test_reference_oracle.py``.
 """
 
 from __future__ import annotations
@@ -51,19 +57,22 @@ class Pattern:
         self._revert_tables = functools.lru_cache(100)(self._revert_tables)
 
     def _validate_layout(self):
-        q_timesteps = {q: 0 for q in range(self.n_q)}
-        for s, seq_coords in enumerate(self.layout):
-            if seq_coords:
-                qs = set()
-                for t, q in seq_coords:
-                    qs.add(q)
-                    assert t >= q_timesteps[q], (
-                        f"Past timesteps found for codebook {q} at step {s}"
-                    )
-                    q_timesteps[q] = t
-                assert len(qs) == len(seq_coords), (
-                    f"Multiple entries for one codebook at step {s}"
-                )
+        """A layout is valid iff (a) no sequence step writes one codebook
+        twice and (b) each codebook's timesteps appear in non-decreasing
+        order along the sequence (no future-before-past)."""
+        frontier = np.zeros(self.n_q, dtype=np.int64)  # watermark per codebook
+        for s, coords in enumerate(self.layout):
+            if not coords:
+                continue
+            qs = [q for _, q in coords]
+            assert len(set(qs)) == len(qs), (
+                f"Multiple entries for one codebook at step {s}"
+            )
+            ts = np.array([t for t, _ in coords])
+            assert (ts >= frontier[qs]).all(), (
+                f"Past timesteps found at step {s}"
+            )
+            frontier[qs] = ts
 
     # ------------------------------------------------------------------ #
     # properties
@@ -254,22 +263,31 @@ class DelayedPatternProvider(CodebooksPatternProvider):
         assert sorted(self.delays) == self.delays
 
     def get_pattern(self, timesteps: int) -> Pattern:
-        out: PatternLayout = [[]]
-        max_delay = max(self.delays)
-        if self.empty_initial:
-            out += [[] for _ in range(self.empty_initial)]
-        if self.flatten_first:
-            for t in range(min(timesteps, self.flatten_first)):
-                for q in range(self.n_q):
-                    out.append([(t, q)])
-        for t in range(self.flatten_first, timesteps + max_delay):
-            v = []
-            for q, delay in enumerate(self.delays):
-                t_for_q = t - delay
-                if t_for_q >= self.flatten_first:
-                    v.append((t_for_q, q))
-            out.append(v)
-        return Pattern(out, timesteps=timesteps, n_q=self.n_q)
+        """Layout derivation (behavioral spec = reference
+        ``codebook_patterns.py:377-406``, itself vendored from AudioCraft;
+        bit-exactness locked by ``tests/test_reference_oracle.py``):
+
+        after the BOS row, ``empty_initial`` blank rows and an optional
+        fully-flattened head (one ``(t, q)`` per row, row-major over the
+        first ``flatten_first`` timesteps), row ``r`` of the delayed body
+        carries, for every codebook ``q``, the coordinate
+        ``(flatten_first + r - delays[q], q)`` whenever that timestep has
+        cleared the flattened head."""
+        ff, n_q = self.flatten_first, self.n_q
+        head: PatternLayout = [[]] * (1 + self.empty_initial)
+        flat: PatternLayout = [
+            [(t, q)] for t in range(min(timesteps, ff)) for q in range(n_q)
+        ]
+        n_body = timesteps + max(self.delays) - ff
+        body: PatternLayout = [
+            [
+                (ff + r - d, q)
+                for q, d in enumerate(self.delays)
+                if 0 <= r - d
+            ]
+            for r in range(n_body)
+        ]
+        return Pattern(head + flat + body, timesteps=timesteps, n_q=n_q)
 
 
 class ParallelPatternProvider(DelayedPatternProvider):
@@ -320,20 +338,32 @@ class UnrolledPatternProvider(CodebooksPatternProvider):
         return timesteps * self._num_inner_steps + 1
 
     def get_pattern(self, timesteps: int) -> Pattern:
-        indexed_out: list = [(-1, [])]
-        max_timesteps = timesteps + self.max_delay
-        for t in range(max_timesteps):
-            for step in range(self._num_inner_steps):
-                if step in self._flattened:
-                    entry = self._flattened[step]
-                    t_for_q = t + entry["delay"]
-                    coords = [(t, q) for q in entry["codebooks"]]
-                    if t_for_q < max_timesteps and t < max_timesteps:
-                        indexed_out.append((t_for_q, coords))
-                else:
-                    indexed_out.append((t, []))
-        out = [coords for _, coords in sorted(indexed_out)]
-        return Pattern(out, timesteps=timesteps, n_q=self.n_q)
+        """Layout derivation (behavioral spec = reference
+        ``codebook_patterns.py:505-548`` / AudioCraft; bit-exactness locked
+        by ``tests/test_reference_oracle.py``):
+
+        every timestep expands into ``_num_inner_steps`` virtual rows. The
+        row of inner step ``i`` carries all codebooks flattened onto ``i``,
+        scheduled ``delay`` rows later (rows past the horizon are dropped);
+        an inner step with no codebooks contributes a blank row at its own
+        time. Rows are merged in schedule order — on ties blank rows come
+        first, then lower source timesteps (tuple order)."""
+        horizon = timesteps + self.max_delay
+        rows: list = [(-1, [])]  # BOS row sorts before everything
+        for i in range(self._num_inner_steps):
+            grp = self._flattened.get(i)
+            if grp is None:
+                rows += [(t, []) for t in range(horizon)]
+            else:
+                rows += [
+                    (t + grp["delay"], [(t, q) for q in grp["codebooks"]])
+                    for t in range(horizon - grp["delay"])
+                ]
+        return Pattern(
+            [coords for _, coords in sorted(rows)],
+            timesteps=timesteps,
+            n_q=self.n_q,
+        )
 
 
 class VALLEPattern(CodebooksPatternProvider):
@@ -351,18 +381,16 @@ class VALLEPattern(CodebooksPatternProvider):
         assert sorted(self.delays) == self.delays
 
     def get_pattern(self, timesteps: int) -> Pattern:
-        out: PatternLayout = [[]]
-        for t in range(timesteps):
-            out.append([(t, 0)])
-        max_delay = max(self.delays) if self.delays else 0
-        for t in range(timesteps + max_delay):
-            v = []
-            for q, delay in enumerate(self.delays):
-                t_for_q = t - delay
-                if t_for_q >= 0:
-                    v.append((t_for_q, q + 1))
-            out.append(v)
-        return Pattern(out, timesteps=timesteps, n_q=self.n_q)
+        """Codebook 0 streams alone first; the remaining codebooks follow
+        as one delayed block (row ``r``: codebook ``q+1`` at timestep
+        ``r - delays[q]`` once non-negative). Spec = reference
+        ``codebook_patterns.py:568-581``; locked by the oracle tests."""
+        solo: PatternLayout = [[(t, 0)] for t in range(timesteps)]
+        block: PatternLayout = [
+            [(r - d, q + 1) for q, d in enumerate(self.delays) if r >= d]
+            for r in range(timesteps + max(self.delays, default=0))
+        ]
+        return Pattern([[]] + solo + block, timesteps=timesteps, n_q=self.n_q)
 
 
 class MusicLMPattern(CodebooksPatternProvider):
@@ -373,9 +401,14 @@ class MusicLMPattern(CodebooksPatternProvider):
         self.group_by = group_by
 
     def get_pattern(self, timesteps: int) -> Pattern:
-        out: PatternLayout = [[]]
-        for offset in range(0, self.n_q, self.group_by):
-            for t in range(timesteps):
-                for q in range(offset, offset + self.group_by):
-                    out.append([(t, q)])
-        return Pattern(out, timesteps=timesteps, n_q=self.n_q)
+        """Fully flattened, one coordinate per row, iterated group-major:
+        all timesteps of codebook group [g, g+group_by) before the next
+        group. Spec = reference ``codebook_patterns.py:597-603``; locked by
+        the oracle tests."""
+        layout: PatternLayout = [[]] + [
+            [(t, q)]
+            for g in range(0, self.n_q, self.group_by)
+            for t in range(timesteps)
+            for q in range(g, g + self.group_by)
+        ]
+        return Pattern(layout, timesteps=timesteps, n_q=self.n_q)
