@@ -40,11 +40,13 @@ _RULES: Tuple[Tuple[str, Tuple[Optional[str], ...]], ...] = (
     (r"tok_embeddings/proj_g", (None, "model", None)),
     (r"tok_embeddings/proj_b", (None, "model")),
     (r"cls_embeddings/.*/kernel", (None, "model")),
-    # --- visual encoder (ViT) blocks ---
-    (r"blocks/.*(qkv|fc1|in_proj|linear1)/kernel", ("fsdp", "model")),
+    # --- visual encoder (ViT) blocks + CLS aggregation layers
+    # (spatial_attn_agg / temp_attn_agg / global_attn_agg share the
+    # encoder-layer shape; caught replicated by test_flagship_sharding) ---
+    (r"(blocks|attn_agg)/.*(qkv|fc1|in_proj|linear1)/kernel", ("fsdp", "model")),
     # trajectory attention temporal-step projections (column-split)
     (r"blocks/.*attn_proj_(q|kv)/kernel", ("fsdp", "model")),
-    (r"blocks/.*(proj|fc2|out_proj|linear2)/kernel", ("model", "fsdp")),
+    (r"(blocks|attn_agg)/.*(proj|fc2|out_proj|linear2)/kernel", ("model", "fsdp")),
     (r"patch_embed_3d/kernel", (None, None, None, None, "model")),
     # --- DAC codec: small convs, replicate ---
     (r"(dac|encoder_dac)/.*", ()),
