@@ -196,6 +196,19 @@ def generate(cfg: dict) -> dict:
         use_sampling=use_sampling, temp=temp, top_k=top_k, top_p=top_p,
         cfg_scale=cfg_scale,
     )
+    # ground-truth audio handling (reference generate.py:181-182,286-301):
+    # save_original_files writes the GT audio alongside the generated clip,
+    # by default round-tripped through the codec (compress_original_audio)
+    # so codec ceiling and model quality separate cleanly. prompt_duration
+    # exposes audio-prompted generation (the model supports prompt codes
+    # internally — reference vaura_model.py:455-469 — but the reference CLI
+    # never surfaces it).
+    save_original_files = bool(cfg.get("save_original_files", False))
+    compress_original_audio = bool(cfg.get("compress_original_audio", True))
+    prompt_duration = float(cfg.get("prompt_duration", 0.0))
+    remove_prompts = bool(cfg.get("remove_prompts", False))
+    a_sr = system.dac_config.sample_rate
+
     max_batches = cfg.get("max_batches")
     n_done = 0
     for bi, batch in enumerate(loader):
@@ -203,6 +216,20 @@ def generate(cfg: dict) -> dict:
             break
         try:
             frames = batch["frames"]
+            gt_audio = batch.get("audio")
+            if gt_audio is not None:
+                gt_audio = np.asarray(gt_audio, dtype=np.float32)
+                if gt_audio.ndim == 4:  # clip-partitioned [B, n, 1, T]
+                    gt_audio = gt_audio.transpose(0, 2, 1, 3).reshape(
+                        gt_audio.shape[0], 1, -1
+                    )
+            prompt_codes = None
+            if prompt_duration > 0 and gt_audio is not None:
+                n_samp = int(prompt_duration * a_sr)
+                n_tok = int(prompt_duration * COMPRESSION_MODEL_FRAME_RATE)
+                prompt_codes = system.encode_audio(
+                    params, jax.numpy.asarray(gt_audio[:, :, :n_samp])
+                )[:, :, :n_tok]
             frame_step = int(cfg.get("frame_step", 1) or 1)
             if frame_step > 1:
                 # temporal subsample within each segment
@@ -214,7 +241,10 @@ def generate(cfg: dict) -> dict:
             if duration <= model_max_duration:
                 item = system.generate(
                     params, frames, gen_rng, max_new_tokens=total_gen_len,
-                    tokens_per_frame=7, **sampling,
+                    tokens_per_frame=7,
+                    audio_prompt_codes=prompt_codes,
+                    remove_prompts=remove_prompts,
+                    **sampling,
                 )
             else:
                 item = system.generate_long(
@@ -266,6 +296,27 @@ def generate(cfg: dict) -> dict:
                     v_fps=vfps, a_fps=system.dac_config.sample_rate,
                     audio_norm_strategy=audio_norm_strategy,
                 )
+                if save_original_files and gt_audio is not None:
+                    # GT audio next to the generated clip; DAC round-trip by
+                    # default (reference generate.py:286-301,428-440 writes
+                    # {fn}_original with the codec-compressed GT track)
+                    ga = gt_audio[i : i + 1]
+                    if compress_original_audio:
+                        ga = np.asarray(
+                            system.decode_audio(
+                                params,
+                                system.encode_audio(
+                                    params, jax.numpy.asarray(ga)
+                                ),
+                            ),
+                            dtype=np.float32,
+                        )
+                    save_results(
+                        ga.reshape(-1), orig_frames, out_dir,
+                        f"{Path(fn).stem}_original",
+                        v_fps=vfps, a_fps=a_sr,
+                        audio_norm_strategy=audio_norm_strategy,
+                    )
                 n_done += 1
         except Exception as e:
             # per-sample robustness (reference generate.py:386-389)

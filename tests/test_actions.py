@@ -76,6 +76,39 @@ def test_generate_action(dummy_cfg, tmp_path):
     assert codes.ndim == 2 and codes.shape[0] >= 1  # [K, T]
 
 
+def test_generate_action_gt_roundtrip_and_prompt(dummy_cfg, tmp_path):
+    """save_original_files writes the DAC-round-tripped GT audio as
+    {fn}_original.wav next to the generated clip (reference
+    generate.py:181-182,286-301,428-440); prompt_duration feeds the first
+    N seconds of GT audio back as prompt codes (audio-prompted generation,
+    reference vaura_model.py:455-469 — never CLI-exposed there)."""
+    from scripts.generate import generate
+
+    cfg = dict(dummy_cfg)
+    cfg["action"] = "generate"
+    cfg["duration"] = 0.15
+    cfg["model_max_duration"] = 0.64
+    cfg["top_k"] = 8
+    cfg["output_dir"] = str(tmp_path / "gen_gt")
+    cfg["dataloader"] = dict(cfg["dataloader"])
+    cfg["dataloader"]["batch_size"] = 1
+    cfg["dataset_to_use"] = "test"
+    cfg["max_batches"] = 1
+    cfg["save_original_files"] = True
+    cfg["compress_original_audio"] = True
+    cfg["prompt_duration"] = 0.05  # ~4 prompt tokens
+    result = generate(cfg)
+    assert result["num_generated"] >= 1
+    out = tmp_path / "gen_gt"
+    gen_wavs = [p for p in out.glob("*.wav") if "_original" not in p.name]
+    gt_wavs = list(out.glob("*_original.wav"))
+    assert gen_wavs and gt_wavs, sorted(p.name for p in out.iterdir())
+    from vaura_tpu.ops.audio import read_wav
+
+    wav, sr = read_wav(gt_wavs[0])
+    assert sr == 44100 and wav.shape[-1] > 0
+
+
 def test_finetune_action(dummy_cfg, tmp_path):
     """Finetune: init from a prior run's best checkpoint, fresh optimizer."""
     from scripts.finetune import finetune

@@ -24,7 +24,10 @@ def vgg_root(tmp_path_factory):
     data_dir.mkdir()
     sr = 44100
     rng = np.random.default_rng(0)
-    names = [f"clip{i}" for i in range(3)]
+    # reference-conformant clip naming: {video_id}_{start_ms}_{end_ms}
+    # (vggsound_dataset.py:126-133 builds the split membership from the
+    # meta rows as f"{id}_{start*1000}_{(start+10)*1000}")
+    names = [f"vid{i}_0_10000" for i in range(3)]
     for i, name in enumerate(names):
         n, h, w = 40, 64, 64  # 1.6 s at 25 fps
         frames = rng.integers(0, 255, size=(n, h, w, 3), dtype=np.uint8)
@@ -44,13 +47,13 @@ def vgg_root(tmp_path_factory):
         w = csv.writer(f)
         w.writerow(["id", "start", "label"])
         for i, name in enumerate(names):
-            w.writerow([name, 0, f"class_{i % 2}"])
+            w.writerow([name.rsplit("_", 2)[0], 0, f"class_{i % 2}"])
     # fixed start points for eval
     fsp = root / "fixed.csv"
     with open(fsp, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["filename", "start"])
-        w.writerow(["clip0.mp4", 0.2])
+        w.writerow(["file", "start_sec"])  # test_sets CSV schema
+        w.writerow(["vid0_0_10000", 0.2])
     return {
         "root": root,
         "data": data_dir,
@@ -92,28 +95,32 @@ def test_fixed_start_pts(vgg_root):
     ds = _dataset(vgg_root, split="test",
                   fixed_start_pts_file_path=vgg_root["fixed"])
     # clip0 has a pinned 0.2 s start
-    idx = [i for i, f in enumerate(ds.files) if f.stem == "clip0"][0]
+    idx = [i for i, f in enumerate(ds.files) if f.stem == "vid0_0_10000"][0]
     item = ds[idx]
     assert item["meta"]["start_pts"] == pytest.approx(0.2)
 
 
 def test_included_filter(vgg_root, tmp_path):
     inc = tmp_path / "included.txt"
-    inc.write_text("clip1.mp4\n")
+    inc.write_text("vid1_0_10000.mp4\n")
     ds = _dataset(vgg_root, included_files_path=inc)
-    assert [f.stem for f in ds.files] == ["clip1"]
+    assert [f.stem for f in ds.files] == ["vid1_0_10000"]
 
 
 def test_imagebind_filter(vgg_root, tmp_path):
     scores = tmp_path / "ib.json"
-    scores.write_text(json.dumps({"clip0": 0.9, "clip1": 0.1, "clip2": 0.5}))
+    scores.write_text(json.dumps({
+        "a/b/vid0_0_10000.mp4": 0.9,  # keys may be full paths (Path(k).stem)
+        "vid1_0_10000": 0.1,
+        "vid2_0_10000": 0.5,
+    }))
     ds = _dataset(
         vgg_root,
         filter_by_imagebind_score=True,
         imagebind_score_threshold=0.4,
         imagebind_score_file_path=str(scores),
     )
-    assert sorted(f.stem for f in ds.files) == ["clip0", "clip2"]
+    assert sorted(f.stem for f in ds.files) == ["vid0_0_10000", "vid2_0_10000"]
 
 
 def test_datamodule_batches(vgg_root):

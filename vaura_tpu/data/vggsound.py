@@ -35,6 +35,20 @@ logger = logging.getLogger(__name__)
 EPS = 0.01  # reference vggsound_dataset.py:24
 
 
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def _clip_id(stem: str) -> str:
+    """``{video_id}_{start_ms}_{end_ms}`` -> bare video id (ids may contain
+    underscores, so strip exactly the two trailing numeric fields)."""
+    return stem.rsplit("_", 2)[0]
+
+
 class VggSoundDataset(Dataset):
     def __init__(
         self,
@@ -70,10 +84,9 @@ class VggSoundDataset(Dataset):
     ):
         split_dir_path = Path(split_dir_path)
         self.split = split
-        split_prefix = (
-            "vggsound" if "vggsound" in split_dir_path.name else "visualsound"
+        self.split_file_path = (
+            split_dir_path / f"{self._split_prefix(split_dir_path)}_{split}.txt"
         )
-        self.split_file_path = split_dir_path / f"{split_prefix}_{split}.txt"
         assert self.split_file_path.is_file(), f"missing {self.split_file_path}"
         self.data_path = Path(data_path)
         self.meta_path = Path(meta_path)
@@ -104,7 +117,8 @@ class VggSoundDataset(Dataset):
         self.video_transforms = build_transforms(video_transforms)
         self.run_additional_checks = run_additional_checks
 
-        # label map from meta CSV (id, start, label)
+        # label map from meta CSV (id, start_sec, label) — keyed by bare
+        # video id (reference vggsound_dataset.py:116-127)
         with self.meta_path.open() as f:
             meta_rows = list(csv.reader(f))[1:]
         unique = sorted({row[2] for row in meta_rows if len(row) > 2})
@@ -114,10 +128,10 @@ class VggSoundDataset(Dataset):
             row[0]: self.label2target[row[2]] for row in meta_rows if len(row) > 2
         }
 
-        # split membership
         with self.split_file_path.open(encoding="utf-8") as f:
             names = [line.strip() for line in f if line.strip()]
-        files = [self.data_path / Path(n).with_suffix(".mp4").name for n in names]
+        names = self._restrict_split_names(names, meta_rows)
+        files = [self._clip_path(n) for n in names]
 
         files = self._apply_file_filters(
             files,
@@ -135,6 +149,29 @@ class VggSoundDataset(Dataset):
         logger.info("%s split: %d files", split, len(self.files))
 
     # -------------------------------------------------------------- #
+    @staticmethod
+    def _split_prefix(split_dir_path: Path) -> str:
+        """Split files are ``{prefix}_{split}.txt`` (reference
+        vggsound_dataset.py:63-66)."""
+        return "vggsound" if "vggsound" in split_dir_path.name else "visualsound"
+
+    def _restrict_split_names(self, names: List[str], meta_rows) -> List[str]:
+        """clips = meta ∩ split: meta rows name a source video + start sec;
+        the clip name is {id}_{start_ms}_{start+10s ms} (reference
+        vggsound_dataset.py:126-133). Subclasses with a different membership
+        policy (AudioSet keeps the split list as-is) override this."""
+        meta_available = {
+            f"{r[0]}_{int(float(r[1])) * 1000}_{(int(float(r[1])) + 10) * 1000}"
+            for r in meta_rows
+            if len(r) > 1 and _is_number(r[1])
+        }
+        if meta_available:
+            names = [n for n in names if n in meta_available]
+        return names
+
+    def _clip_path(self, name: str) -> Path:
+        return self.data_path / Path(name).with_suffix(".mp4").name
+
     def _apply_file_filters(
         self,
         files: List[Path],
@@ -169,41 +206,50 @@ class VggSoundDataset(Dataset):
         if included is not None:
             good = read_list(included)
             files = [f for f in files if f.name in good]
-        if filter_ib and ib_path:
-            # ImageBind AV-alignment score filtering
-            # (reference vggsound_dataset.py:142-153,321-327)
+        if filter_ib and ib_path and self.split != "predict":
+            # ImageBind AV-alignment score filtering: JSON {path: score};
+            # exclude clips scoring below the threshold (keys may be full
+            # paths — compare by stem; test/val kept comparable by applying
+            # the same file; reference vggsound_dataset.py:142-153,321-327)
             with open(ib_path) as f:
                 scores = json.load(f)
-            files = [
-                f
-                for f in files
-                if scores.get(f.stem, ib_threshold) >= ib_threshold
-            ]
-        if filter_insync and insync_path:
-            # Synchformer in-sync prediction filtering
-            # (reference vggsound_dataset.py:155-162,329-362)
-            keep = set()
-            with open(insync_path) as f:
-                reader = csv.DictReader(f)
-                for row in reader:
-                    try:
-                        if int(row.get(insync_key, 0)) > insync_threshold:
-                            keep.add(Path(row["vid_id"]).with_suffix(".mp4").name)
-                    except (ValueError, KeyError):
-                        continue
-            files = [f for f in files if f.name in keep]
+            bad = {Path(k).stem for k, v in scores.items() if v < ib_threshold}
+            files = [f for f in files if f.stem not in bad]
+        if filter_insync and insync_path and self.split != "predict":
+            # Synchformer in-sync prediction filtering: header-less rows
+            # vid,offset,vstart,is_correct,is_correct_within_1cls_tol —
+            # several rows per vid; exclude when the per-vid SUM of the
+            # chosen key falls below the threshold (defaults 25 train /
+            # 5 eval; reference vggsound_dataset.py:155-162,329-362)
+            insync_key = insync_key.lower()
+            assert insync_key in ("is_correct", "is_correct_within_1cls_tol"), (
+                f"invalid insync key {insync_key!r}"
+            )
+            if insync_threshold < 0:
+                insync_threshold = 25 if self.split == "train" else 5
+            col = 3 if insync_key == "is_correct" else 4
+            totals: dict = {}
+            with open(insync_path, encoding="utf-8") as f:
+                for row in csv.reader(f):
+                    if len(row) > col:
+                        totals[row[0]] = totals.get(row[0], 0) + int(row[col])
+            bad = {v for v, s in totals.items() if s < insync_threshold}
+            files = [f for f in files if f.stem not in bad]
         return files
 
     def __len__(self) -> int:
         return len(self.files)
 
     def _start_pts(self, path: Path, duration: float) -> float:
-        if path.name in self.fixed_start_pts:
-            return self.fixed_start_pts[path.name]
-        if self.split != "train":
+        """Reference vggsound_dataset.py:205-214: train -> uniform random;
+        eval -> fixed start point keyed by clip stem (0.0 when absent or
+        when the crop covers most of the 10 s source, video_len > 5.12)."""
+        if self.split == "train":
+            hi = max(duration - self.video_len - EPS, 0.0)
+            return float(self._rng.uniform(0, hi))
+        if self.video_len > 5.12:
             return 0.0
-        hi = max(duration - self.video_len - EPS, 0.0)
-        return float(self._rng.uniform(0, hi))
+        return self.fixed_start_pts.get(path.stem, 0.0)
 
     def _load_one(self, path: Path):
         from vaura_tpu.data import media
@@ -257,7 +303,7 @@ class VggSoundDataset(Dataset):
 
         meta = {
             "filepath": str(path),
-            "target": self.video2target.get(path.stem, -1),
+            "target": self.video2target.get(_clip_id(path.stem), -1),
             "start_pts": start,
             "video_fps": self.v_sr,
             "audio_fps": self.a_sr,
