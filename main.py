@@ -66,14 +66,20 @@ def main(argv=None) -> int:
         gen_dir = cfg.get("generated_dir") or cfg.get("output_dir")
         ref_dir = cfg.get("reference_dir")
         if gen_dir and ref_dir:
-            # in-repo objective metrics (mel-L1 / SI-SNR / LUFS delta /
-            # melstats-FAD); pretrained-classifier FAD/KLD still lives in
-            # external frameworks like the reference (README.md:93)
+            # in-repo objective metrics (mel-L1 / SI-SNR / LUFS delta) +
+            # FAD with a named embedder: embedder=vggish embedder_ckpt=...
+            # gives the standard published-FAD embedding (ops/vggish.py);
+            # melstats is the offline deterministic fallback
             import json as _json
 
             from scripts.eval_metrics import evaluate_dirs
 
-            report = evaluate_dirs(gen_dir, ref_dir, fad=bool(cfg.get("fad")))
+            report = evaluate_dirs(
+                gen_dir, ref_dir,
+                fad=bool(cfg.get("fad")),
+                embedder=str(cfg.get("embedder", "melstats")),
+                embedder_ckpt=cfg.get("embedder_ckpt"),
+            )
             print(_json.dumps(report["mean"], indent=2))
         else:
             print(

@@ -73,41 +73,64 @@ def evaluate_pair(gen_path: Path, ref_path: Path) -> dict:
     }
 
 
-def evaluate_dirs(
-    generated_dir: Path, reference_dir: Path, fad: bool = False
-) -> dict:
-    """Pairwise metrics over ``<stem>.wav`` pairs + optional set-level
-    melstats-FAD. Returns ``{"per_file", "mean", "n"}``."""
-    results = {}
-    gen_embs, ref_embs = [], []
-    embedder = None
-    if fad:
+def make_embedder(name: str, ckpt: "str | None" = None):
+    """Named FAD embedders behind the pluggable interface
+    (``vaura_tpu.ops.fad``): ``melstats`` is offline/deterministic (not
+    comparable to published numbers); ``vggish`` loads a torchvggish
+    checkpoint and produces the standard published-FAD embedding."""
+    if name == "melstats":
         from vaura_tpu.ops.fad import MelStatsEmbedder
 
-        embedder = MelStatsEmbedder()
+        return MelStatsEmbedder()
+    if name == "vggish":
+        assert ckpt, "vggish embedder needs --embedder-ckpt vggish.pth"
+        from vaura_tpu.ops.vggish import VGGishEmbedder
+
+        return VGGishEmbedder(ckpt)
+    raise ValueError(f"unknown embedder {name!r}")
+
+
+def evaluate_dirs(
+    generated_dir: Path,
+    reference_dir: Path,
+    fad: bool = False,
+    embedder: str = "melstats",
+    embedder_ckpt: "str | None" = None,
+) -> dict:
+    """Pairwise metrics over ``<stem>.wav`` pairs + optional set-level FAD
+    with a named embedder. Returns ``{"per_file", "mean", "n"}``."""
+    results = {}
+    gen_embs, ref_embs = [], []
+    emb = make_embedder(embedder, embedder_ckpt) if fad else None
+
+    def _rows(e):
+        e = np.asarray(e)
+        return e[None] if e.ndim == 1 else e  # embedders may emit [N, D]
+
     for gen in sorted(Path(generated_dir).glob("*.wav")):
         ref = Path(reference_dir) / gen.name
         if not ref.exists():
             logger.warning("no reference for %s", gen.name)
             continue
         results[gen.stem] = evaluate_pair(gen, ref)
-        if embedder is not None:
+        if emb is not None:
             g, gsr = read_wav(gen)
             r, rsr = read_wav(ref)
-            gen_embs.append(embedder(g[0], gsr))
-            ref_embs.append(embedder(r[0], rsr))
+            gen_embs.append(_rows(emb(g[0], gsr)))
+            ref_embs.append(_rows(emb(r[0], rsr)))
     if not results:
         return {"per_file": {}, "mean": {}, "n": 0}
     agg = {
         key: float(np.mean([r[key] for r in results.values()]))
         for key in next(iter(results.values()))
     }
-    if embedder is not None and len(gen_embs) > 1:
-        from vaura_tpu.ops.fad import frechet_audio_distance
+    if emb is not None:
+        ge = np.concatenate(gen_embs) if gen_embs else np.zeros((0, 1))
+        re_ = np.concatenate(ref_embs) if ref_embs else np.zeros((0, 1))
+        if len(ge) > 1 and len(re_) > 1:
+            from vaura_tpu.ops.fad import frechet_audio_distance
 
-        agg["fad_melstats"] = frechet_audio_distance(
-            np.stack(ref_embs), np.stack(gen_embs)
-        )
+            agg[f"fad_{embedder}"] = frechet_audio_distance(re_, ge)
     return {"per_file": results, "mean": agg, "n": len(results)}
 
 
@@ -119,13 +142,23 @@ def main() -> None:
     ap.add_argument("--out", type=Path, default=None)
     ap.add_argument(
         "--fad", action="store_true",
-        help="also compute a set-level Frechet distance over log-mel "
-             "statistics embeddings (vaura_tpu.ops.fad; a pretrained-"
-             "classifier-free stand-in for published FAD numbers)",
+        help="also compute a set-level Frechet Audio Distance with the "
+             "embedder chosen by --embedder",
     )
+    ap.add_argument(
+        "--embedder", choices=["melstats", "vggish"], default="melstats",
+        help="FAD embedding network: melstats (offline, deterministic, "
+             "NOT comparable to published numbers) or vggish (needs "
+             "--embedder-ckpt with torchvggish weights; the standard "
+             "published-FAD embedding)",
+    )
+    ap.add_argument("--embedder-ckpt", type=str, default=None)
     args = ap.parse_args()
 
-    report = evaluate_dirs(args.generated_dir, args.reference_dir, args.fad)
+    report = evaluate_dirs(
+        args.generated_dir, args.reference_dir, args.fad,
+        embedder=args.embedder, embedder_ckpt=args.embedder_ckpt,
+    )
     if report["n"] == 0:
         logger.error("no pairs evaluated")
         return
