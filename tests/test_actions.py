@@ -11,6 +11,9 @@ import yaml
 
 from vaura_tpu.config import assemble_config
 
+# full CLI actions take minutes each on this 1-CPU box
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parents[1]
 
 

@@ -48,6 +48,7 @@ def test_mesh_shapes():
     assert dict(mesh.shape) == {"data": 2, "fsdp": 4, "model": 1}
 
 
+@pytest.mark.slow
 def test_sharded_train_step(system):
     sys_, params = system
     mesh = make_mesh(data=2, fsdp=2, model=2)
@@ -69,6 +70,7 @@ def test_sharded_train_step(system):
     assert wqkv.sharding.spec == P(None, "fsdp", "model")
 
 
+@pytest.mark.slow
 def test_sharded_generation(system):
     """Batched generation with the batch sharded over the data axes
     (the 'VisualSound test-split on v5e-8' config shape)."""

@@ -14,6 +14,7 @@ from vaura_tpu.utils.experiment import init_log_directory
 from tests.test_system import DAC_TINY, ENC_TINY, SAMPLER_TINY
 
 
+@pytest.mark.slow
 def test_fit_and_test(tmp_path):
     system = VauraSystem(
         sampler_config=SAMPLER_TINY,
