@@ -130,8 +130,10 @@ def generate(cfg: dict) -> dict:
 
     params = cast_floats(params, jnp.bfloat16)
     if cfg.get("quantize"):
-        # int8 weight-only decoder + int8 KV cache (fastest; logits deviate
-        # by <1e-2 relative — see ops/quantization.py)
+        # int8 weight-only decoder + int8 KV cache (fastest; measured
+        # flagship logit deviation mean ~4e-2 of logit std — validate
+        # sample quality on real weights before serving int8;
+        # PERFORMANCE.md has the measurement)
         import dataclasses as _dc
 
         from vaura_tpu.ops.quantization import quantize_sampler_params
