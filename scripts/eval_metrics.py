@@ -87,6 +87,11 @@ def make_embedder(name: str, ckpt: "str | None" = None):
         from vaura_tpu.ops.vggish import VGGishEmbedder
 
         return VGGishEmbedder(ckpt)
+    if name == "panns":
+        assert ckpt, "panns embedder needs --embedder-ckpt Cnn14_mAP=0.431.pth"
+        from vaura_tpu.ops.panns import PANNsEmbedder
+
+        return PANNsEmbedder(ckpt)
     raise ValueError(f"unknown embedder {name!r}")
 
 
@@ -101,6 +106,7 @@ def evaluate_dirs(
     with a named embedder. Returns ``{"per_file", "mean", "n"}``."""
     results = {}
     gen_embs, ref_embs = [], []
+    gen_probs, ref_probs = [], []
     emb = make_embedder(embedder, embedder_ckpt) if fad else None
 
     def _rows(e):
@@ -117,7 +123,11 @@ def evaluate_dirs(
             g, gsr = read_wav(gen)
             r, rsr = read_wav(ref)
             gen_embs.append(_rows(emb(g[0], gsr)))
+            if getattr(emb, "last_probs", None) is not None:
+                gen_probs.append(emb.last_probs)
             ref_embs.append(_rows(emb(r[0], rsr)))
+            if getattr(emb, "last_probs", None) is not None:
+                ref_probs.append(emb.last_probs)
     if not results:
         return {"per_file": {}, "mean": {}, "n": 0}
     agg = {
@@ -131,6 +141,13 @@ def evaluate_dirs(
             from vaura_tpu.ops.fad import frechet_audio_distance
 
             agg[f"fad_{embedder}"] = frechet_audio_distance(re_, ge)
+        if gen_probs and len(gen_probs) == len(ref_probs):
+            # paired KLD over classifier posteriors (panns embedder)
+            from vaura_tpu.ops.fad import paired_kl_divergence_from_probs
+
+            agg[f"kld_{embedder}"] = paired_kl_divergence_from_probs(
+                np.stack(ref_probs), np.stack(gen_probs)
+            )
     return {"per_file": results, "mean": agg, "n": len(results)}
 
 
@@ -146,14 +163,24 @@ def main() -> None:
              "embedder chosen by --embedder",
     )
     ap.add_argument(
-        "--embedder", choices=["melstats", "vggish"], default="melstats",
+        "--embedder", choices=["melstats", "vggish", "panns"], default="melstats",
         help="FAD embedding network: melstats (offline, deterministic, "
-             "NOT comparable to published numbers) or vggish (needs "
-             "--embedder-ckpt with torchvggish weights; the standard "
-             "published-FAD embedding)",
+             "NOT comparable to published numbers), vggish (torchvggish "
+             "weights; the standard published-FAD embedding) or panns "
+             "(CNN14 checkpoint; also reports paired kld_panns)",
     )
     ap.add_argument("--embedder-ckpt", type=str, default=None)
+    ap.add_argument(
+        "--platform", type=str, default=None,
+        help="force the JAX backend (e.g. cpu) — embedder networks run "
+             "through JAX; without this the default backend (possibly an "
+             "exclusive TPU) is claimed",
+    )
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     report = evaluate_dirs(
         args.generated_dir, args.reference_dir, args.fad,

@@ -99,6 +99,22 @@ def paired_kl_divergence(
     return float(kl.mean())
 
 
+def paired_kl_divergence_from_probs(
+    probs_ref: np.ndarray, probs_gen: np.ndarray, eps: float = 1e-8
+) -> float:
+    """Mean KL(ref || gen) between paired multi-label posteriors
+    (``[N, C]`` each, e.g. PANNs sigmoid outputs), row-normalized into
+    distributions first (the convention audio-generation KLD evals use for
+    multi-label taggers)."""
+    p = np.asarray(probs_ref, np.float64) + eps
+    q = np.asarray(probs_gen, np.float64) + eps
+    assert p.shape == q.shape and p.ndim == 2, (p.shape, q.shape)
+    p = p / p.sum(axis=-1, keepdims=True)
+    q = q / q.sum(axis=-1, keepdims=True)
+    kl = np.sum(p * (np.log(p) - np.log(q)), axis=-1)
+    return float(kl.mean())
+
+
 class MelStatsEmbedder:
     """Deterministic offline audio embedder: per-clip concat of log-mel
     frame means and standard deviations (``2 * n_mels`` dims). A stand-in
