@@ -124,7 +124,11 @@ def main() -> None:
         codes = jnp.clip(codes[..., : args.tokens], 0, sampler_cfg.d_codebook - 1)
         if args.no_dac:
             return codes
-        audio = system.decode_audio(params, codes)
+        # chunked waveform decode: DAC activation temps (not the KV cache)
+        # are what OOMs first at B>=144 on 16 GB HBM
+        audio = system.decode_audio(
+            params, codes, chunk_size=32 if B > 32 else None
+        )
         # return a checksum, not the waveform: the full 14 MB host fetch
         # would measure the PJRT transport, not the chip (production
         # serving writes device->host asynchronously / keeps audio on

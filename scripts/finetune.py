@@ -36,6 +36,12 @@ def finetune(cfg: dict) -> dict:
     ft_cfg = cfg.get("finetune") or {}
     if ft_cfg.get("unfreeze_encoder"):
         model_cfg["freeze_feature_extractor"] = False
+    # LoRA finetuning: finetune.lora_rank > 0 trains low-rank adapters on
+    # the sampler kernels only (vaura_tpu/train/lora.py); the base weights
+    # stay frozen and out of the per-run checkpoints
+    for key in ("lora_rank", "lora_target_modules", "lora_alpha"):
+        if ft_cfg.get(key) is not None:
+            model_cfg[key] = ft_cfg[key]
 
     dirs = init_log_directory(
         trainer_cfg.get("log_dir", "./logs"),
@@ -58,25 +64,39 @@ def finetune(cfg: dict) -> dict:
     init_from = ft_cfg.get("init_from")
     if init_from:
         from vaura_tpu.train.checkpoint import restore_trainable_params
-        from vaura_tpu.train.steps import split_params
 
-        trainable, _ = split_params(system, params)
+        # base checkpoints never contain adapters: restore everything else
+        base_params = {k: v for k, v in params.items() if k != "lora_sampler"}
         try:
             # converted full tree ({sampler, dac, encoder})
             import orbax.checkpoint as ocp
 
             ckptr = ocp.StandardCheckpointer()
             loaded = ckptr.restore(
-                Path(init_from).resolve(), abstract_like(params)
+                Path(init_from).resolve(), abstract_like(base_params)
             )
             params.update({k: v for k, v in loaded.items() if v is not None})
         except Exception:
+            from vaura_tpu.train.steps import split_params
+
+            template, _ = split_params(system, params)
+            if "lora_sampler" in template:
+                # a prior run's ckpt holds base weights, not adapters
+                template = {"sampler": params["sampler"]}
             params.update(
                 restore_trainable_params(
-                    init_from, trainable, model_cfg, trainer_cfg
+                    init_from, template, model_cfg, trainer_cfg
                 )
             )
         logger.info("finetuning from %s", init_from)
+    if int(model_cfg.get("lora_rank", 0) or 0) > 0:
+        from vaura_tpu.train.lora import count_lora_params
+
+        logger.info(
+            "LoRA finetuning: rank %s, %d adapter params",
+            model_cfg["lora_rank"],
+            count_lora_params(params["lora_sampler"]),
+        )
     else:
         logger.warning("finetune.init_from not set: training from scratch")
 

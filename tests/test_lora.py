@@ -1,0 +1,211 @@
+"""LoRA finetuning (vaura_tpu/train/lora.py): adapter init/merge math,
+gradient isolation, generation with adapters, and the finetune action
+end-to-end. The reference only carries dead LoRA kwargs
+(scripts/test.py:63-65 passes them into a model that rejects them)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vaura_tpu.models.dac.model import DacConfig
+from vaura_tpu.models.sampler import SamplerConfig
+from vaura_tpu.models.vaura import VauraSystem
+from vaura_tpu.train.lora import (
+    DEFAULT_TARGETS,
+    count_lora_params,
+    init_lora,
+    merge_lora,
+)
+
+TINY = SamplerConfig(
+    num_layers=2, d_model=48, d_codebook=17, num_codebooks=3, nhead=4,
+    block_size_audio=64, block_size_video=8, cond_feature_channel_scaler=3,
+    codebook_dim=4, dtype=jnp.float32,
+)
+DAC_TINY = DacConfig(
+    encoder_dim=8, encoder_rates=(2, 2), decoder_dim=16, decoder_rates=(2, 2),
+    n_codebooks=3, codebook_size=17, codebook_dim=4, latent_dim=32,
+    sample_rate=8000, dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def lora_system():
+    sys_ = VauraSystem(
+        sampler_config=TINY, dac_config=DAC_TINY, encoder_config=None,
+        use_visual_conditioning=True, lora_rank=4,
+    )
+    params = sys_.init_params(jax.random.PRNGKey(0))
+    return sys_, params
+
+
+def test_init_and_merge_identity(lora_system):
+    """b-zero init => merged weights equal the base weights at step 0."""
+    sys_, params = lora_system
+    assert "lora_sampler" in params
+    merged = merge_lora(params["sampler"], params["lora_sampler"])
+    for a, b in zip(jax.tree.leaves(params["sampler"]), jax.tree.leaves(merged)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # every default target got an adapter pair
+    n = count_lora_params(params["lora_sampler"])
+    # wqkv/wo/w1/w2/w3 stacked [L, in, r] + [L, r, out]
+    assert n > 0 and n < 0.2 * sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(params["sampler"])
+    )
+
+
+def test_merge_applies_delta():
+    rng = jax.random.PRNGKey(1)
+    base = {"layers": {"attention": {"wqkv": {"kernel": jnp.ones((2, 8, 12))}}}}
+    lora = init_lora(rng, base, rank=2, targets=("wqkv",))
+    # force a nonzero b
+    lora["layers"]["attention"]["wqkv"]["lora_b"] = jnp.ones((2, 2, 12))
+    merged = merge_lora(base, lora)
+    a = np.asarray(lora["layers"]["attention"]["wqkv"]["lora_a"])
+    expect = 1.0 + np.einsum("lir,lro->lio", a, np.ones((2, 2, 12)))
+    np.testing.assert_allclose(
+        np.asarray(merged["layers"]["attention"]["wqkv"]["kernel"]),
+        expect, rtol=1e-6,
+    )
+    # alpha rescales the delta
+    merged2 = merge_lora(base, lora, alpha=4.0)
+    np.testing.assert_allclose(
+        np.asarray(merged2["layers"]["attention"]["wqkv"]["kernel"]),
+        1.0 + 2.0 * (expect - 1.0), rtol=1e-6,
+    )
+
+
+def test_gradients_flow_only_to_adapters(lora_system):
+    """A train step updates adapters while the base sampler (frozen tree)
+    is untouched; the adapted loss moves away from the base loss."""
+    from vaura_tpu.train.state import TrainState, make_optimizer
+    from vaura_tpu.train.steps import make_train_step, split_params
+
+    sys_, params = lora_system
+    # the zero-init lm_head (reference llama.py:384-385) blocks all
+    # upstream gradients; randomize it so adapter grads are observable
+    params = dict(params)
+    params["sampler"] = dict(params["sampler"])
+    params["sampler"]["lm_head"] = {
+        "kernel": jax.random.normal(
+            jax.random.PRNGKey(9), params["sampler"]["lm_head"]["kernel"].shape
+        ) * 0.05
+    }
+    trainable, frozen = split_params(sys_, params)
+    assert set(trainable) == {"lora_sampler"}
+    assert "sampler" in frozen
+    state = TrainState.create(trainable, make_optimizer(1e-2))
+    step = make_train_step(sys_, donate=False)
+    rng = np.random.default_rng(2)
+    batch = {
+        "frames": jnp.asarray(
+            rng.standard_normal((2, 4, 768)).astype(np.float32)
+        ),
+        "audio": jnp.asarray(
+            (rng.standard_normal((2, 1, DAC_TINY.hop_length * 12)) * 0.1).astype(
+                np.float32
+            )
+        ),
+    }
+    # frames here double as precomputed vis feats: use train_forward directly
+    def run(state):
+        def loss_fn(tr):
+            p = {**frozen, **tr}
+            loss, _ = sys_.train_forward(
+                p, None, batch["audio"], jax.random.PRNGKey(0), train=True,
+                vis_feats=batch["frames"],
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return loss, grads, state.apply_gradients(grads)
+
+    loss0, grads, state2 = run(state)
+    g_norm = sum(
+        float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads)
+    )
+    assert np.isfinite(float(loss0)) and g_norm > 0
+    # adapters actually moved
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(state.params), jax.tree.leaves(state2.params)
+        )
+    )
+    assert moved
+
+
+def test_generate_with_adapters(lora_system):
+    """Nonzero adapters change generation; zero adapters reproduce the
+    base model exactly (greedy)."""
+    sys_, params = lora_system
+    rng = np.random.default_rng(3)
+    vis = jnp.asarray(rng.standard_normal((1, 4, 768)).astype(np.float32))
+    # decisive head so greedy isn't all index 0
+    params = dict(params)
+    params["sampler"] = dict(params["sampler"])
+    params["sampler"]["lm_head"] = {
+        "kernel": jax.random.normal(
+            jax.random.PRNGKey(9),
+            params["sampler"]["lm_head"]["kernel"].shape,
+        ) * 0.05
+    }
+    base_params = {k: v for k, v in params.items() if k != "lora_sampler"}
+
+    def gen(p):
+        out = sys_.generate(
+            p, None, jax.random.PRNGKey(4), vis_feats=vis, max_new_tokens=8,
+            use_sampling=False, tokens_per_frame=2, decode_to_audio=False,
+        )
+        return np.asarray(out["codes"])
+
+    np.testing.assert_array_equal(gen(params), gen(base_params))  # b == 0
+
+    # perturb adapters -> behavior changes through the merge path
+    import flax.traverse_util as tu
+
+    flat = dict(tu.flatten_dict(params["lora_sampler"]))
+    for k in flat:
+        if k[-1] == "lora_b":
+            flat[k] = jnp.ones_like(flat[k]) * 0.5
+    params2 = dict(params)
+    params2["lora_sampler"] = tu.unflatten_dict(flat)
+    assert not np.array_equal(gen(params2), gen(base_params))
+
+
+@pytest.mark.slow
+def test_finetune_action_with_lora(tmp_path):
+    """finetune.lora_rank trains adapters only: the run's checkpoints hold
+    the (small) adapter tree, and the test loss is finite."""
+    from pathlib import Path
+
+    import yaml
+
+    from scripts.finetune import finetune
+    from vaura_tpu.config import assemble_config
+
+    REPO = Path(__file__).resolve().parents[1]
+    cfg = assemble_config(
+        [
+            f"config={REPO / 'configs/experiments/dummy.yaml'}",
+            f"trainer.log_dir={tmp_path}",
+            "trainer.fast_dev_run=2",
+        ],
+        defaults_path=REPO / "configs" / "vaura_defaults.yaml",
+        base_dir=REPO,
+    )
+    cfg = dict(cfg)
+    cfg["finetune"] = {"lora_rank": 4}
+    result = finetune(cfg)
+    assert np.isfinite(result["metrics"]["test_loss"])
+    ckpts = result["dirs"]["checkpoints"]
+    import orbax.checkpoint as ocp
+
+    best = next(p for p in ckpts.iterdir() if p.name.startswith("epoch="))
+    payload = ocp.StandardCheckpointer().restore(best.resolve())
+    assert "lora_sampler" in payload["params"]
+    assert "sampler" not in payload["params"]  # base stays out of run ckpts

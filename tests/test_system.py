@@ -274,3 +274,21 @@ def test_generate_seed_reproducibility(system):
     c3 = np.asarray(sys_.generate(params, frames, jax.random.PRNGKey(6), **kw)["codes"])
     np.testing.assert_array_equal(c1, c2)
     assert not np.array_equal(c1, c3)
+
+
+def test_decode_audio_chunked_matches_full(system):
+    """Batch-chunked waveform decode (lax.map slices) matches the
+    full-batch decode to float tolerance (fusion order differs) — the DAC
+    decoder's activation temps, not the KV cache, bound the generation
+    batch on 16 GB HBM (PERFORMANCE.md)."""
+    sys_, params = system
+    rng = np.random.default_rng(11)
+    codes = jnp.asarray(
+        rng.integers(0, DAC_TINY.codebook_size, size=(4, sys_.num_codebooks, 12))
+    )
+    full = np.asarray(sys_.decode_audio(params, codes))
+    chunked = np.asarray(sys_.decode_audio(params, codes, chunk_size=2))
+    np.testing.assert_allclose(full, chunked, atol=1e-4, rtol=1e-4)
+    # chunk_size that doesn't divide B falls back to the full decode
+    odd = np.asarray(sys_.decode_audio(params, codes, chunk_size=3))
+    np.testing.assert_array_equal(full, odd)

@@ -76,6 +76,15 @@ def build_system(
             pp_cfg["params"] = pp_params
         pattern_provider = instantiate_from_config(pp_cfg)
 
+    lora_targets = model_cfg.get("lora_target_modules")  # reference kwarg name
+    if model_cfg.get("lora_finetune_feature_extractor"):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "lora_finetune_feature_extractor is accepted for config "
+            "compatibility (reference scripts/test.py:63-65) but LoRA "
+            "currently targets the sampler only"
+        )
     return VauraSystem(
         sampler_config=sampler_spec,
         dac_config=dac_config,
@@ -85,6 +94,9 @@ def build_system(
         use_visual_conditioning=use_vis,
         freeze_feature_extractor=model_cfg.get("freeze_feature_extractor", False),
         flatten_vis_feats=model_cfg.get("flatten_vis_feats", False),
+        lora_rank=int(model_cfg.get("lora_rank", 0) or 0),
+        lora_targets=tuple(lora_targets) if lora_targets else None,
+        lora_alpha=model_cfg.get("lora_alpha"),
     )
 
 

@@ -66,6 +66,11 @@ class VauraSystem:
     use_visual_conditioning: bool = True
     freeze_feature_extractor: bool = False
     flatten_vis_feats: bool = False
+    # LoRA finetuning (vaura_tpu.train.lora): rank 0 disables. The
+    # reference only carries dead LoRA kwargs (scripts/test.py:63-65).
+    lora_rank: int = 0
+    lora_targets: Optional[Tuple[str, ...]] = None
+    lora_alpha: Optional[float] = None
 
     def __post_init__(self):
         self.sampler = Sampler(self.sampler_config)
@@ -86,6 +91,20 @@ class VauraSystem:
         self.pattern_name = type(self.pattern_provider).__name__
 
     # ------------------------------------------------------------------ #
+    def _resolve_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Fold LoRA adapters (if present) into the sampler kernels —
+        called at the jitted entry points so adapter gradients flow while
+        the base weights stay in the frozen tree."""
+        if "lora_sampler" not in params:
+            return params
+        from vaura_tpu.train.lora import merge_lora
+
+        params = dict(params)
+        params["sampler"] = merge_lora(
+            params["sampler"], params.pop("lora_sampler"), self.lora_alpha
+        )
+        return params
+
     @property
     def num_codebooks(self) -> int:
         return self.sampler_config.num_codebooks
@@ -127,6 +146,15 @@ class VauraSystem:
             cond,
             False,
         )["params"]
+        if self.lora_rank > 0:
+            from vaura_tpu.train.lora import DEFAULT_TARGETS, init_lora
+
+            params["lora_sampler"] = init_lora(
+                jax.random.fold_in(r_sam, 1),
+                params["sampler"],
+                self.lora_rank,
+                tuple(self.lora_targets or DEFAULT_TARGETS),
+            )
         return params
 
     def load_dac_embeddings_into_sampler(self, params: Dict[str, Any]) -> Dict[str, Any]:
@@ -232,6 +260,7 @@ class VauraSystem:
         ``codes`` (``[B, K, Ta]`` int) bypasses the DAC encode — for
         datasets with precomputed codec tokens and for parity tests.
         """
+        params = self._resolve_params(params)
         K = self.num_codebooks
         if codes is None:
             if audio.ndim == 4:
@@ -291,10 +320,30 @@ class VauraSystem:
             {"params": params["dac"]}, audio, method=self.dac.encode
         )
 
-    def decode_audio(self, params: Dict[str, Any], codes: jax.Array) -> jax.Array:
-        return self.dac.apply(
-            {"params": params["dac"]}, codes, method=self.dac.decode
+    def decode_audio(
+        self,
+        params: Dict[str, Any],
+        codes: jax.Array,
+        chunk_size: Optional[int] = None,
+    ) -> jax.Array:
+        """Codes -> waveform. ``chunk_size`` decodes the batch in
+        sequential slices via ``lax.map``: the DAC decoder's intermediate
+        activations (up to ~27 MB/clip at 2.56 s) otherwise bound the
+        generation batch — at B=144 the decode temps alone exceed v5e HBM
+        while the AR loop still fits."""
+        dec = lambda c: self.dac.apply(
+            {"params": params["dac"]}, c, method=self.dac.decode
         )
+        B = codes.shape[0]
+        if chunk_size and B > chunk_size:
+            # largest divisor of B not exceeding the requested chunk
+            chunk = next(c for c in range(min(chunk_size, B), 0, -1) if B % c == 0)
+            if chunk > 1 or B > 64:
+                out = jax.lax.map(
+                    dec, codes.reshape(B // chunk, chunk, *codes.shape[1:])
+                )
+                return out.reshape(B, *out.shape[2:])
+        return dec(codes)
 
     # ------------------------------------------------------------------ #
     # generation
@@ -492,6 +541,7 @@ class VauraSystem:
         """Full generation pipeline (reference ``VAURAModel.generate``,
         ``vaura_model.py:410-597``). Returns dict with ``codes`` and
         (optionally) ``audio``."""
+        params = self._resolve_params(params)
         K = self.num_codebooks
         pattern, valid_mask, S = self.prepare_generation(max_new_tokens)
 
@@ -612,6 +662,7 @@ class VauraSystem:
         segments; chunks re-index the cached per-segment features instead
         of re-running the ViT on overlapping windows.
         """
+        params = self._resolve_params(params)
         import math as _math
 
         frame_rate = 86  # codec tokens/s (reference generate.py:30)

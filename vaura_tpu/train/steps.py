@@ -30,8 +30,15 @@ def split_params(
     """(trainable, frozen) partition of the param tree. The codec is always
     frozen (reference ``vaura_model.py:89-92``); the visual encoder follows
     ``freeze_feature_extractor``."""
-    trainable = {"sampler": params["sampler"]}
-    frozen = {"dac": params["dac"]}
+    if "lora_sampler" in params:
+        # LoRA finetuning: only the adapters train; the base sampler is
+        # frozen and folded in at the jitted entry points
+        # (VauraSystem._resolve_params)
+        trainable = {"lora_sampler": params["lora_sampler"]}
+        frozen = {"dac": params["dac"], "sampler": params["sampler"]}
+    else:
+        trainable = {"sampler": params["sampler"]}
+        frozen = {"dac": params["dac"]}
     if "encoder" in params:
         if system.freeze_feature_extractor:
             frozen["encoder"] = params["encoder"]
