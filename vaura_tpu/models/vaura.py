@@ -536,6 +536,7 @@ class VauraSystem:
         remove_prompts: bool = False,
         vis_feats: Optional[jax.Array] = None,
         decode_to_audio: bool = True,
+        dac_chunk_size: Optional[int] = 32,
         check: bool = False,
     ) -> Dict[str, jax.Array]:
         """Full generation pipeline (reference ``VAURAModel.generate``,
@@ -633,7 +634,9 @@ class VauraSystem:
             out_codes = out_codes[..., start_offset:]
         result: Dict[str, jax.Array] = {"codes": out_codes}
         if decode_to_audio:
-            result["audio"] = self.decode_audio(params, out_codes)
+            result["audio"] = self.decode_audio(
+                params, out_codes, chunk_size=dac_chunk_size
+            )
         return result
 
     def generate_long(
@@ -650,6 +653,7 @@ class VauraSystem:
         tokens_per_frame: int = 7,
         vis_feats_segments: Optional[jax.Array] = None,  # [B, S_total, t, D]
         decode_to_audio: bool = True,
+        dac_chunk_size: Optional[int] = 32,
         **sampling,
     ) -> Dict[str, jax.Array]:
         """Chunked long-duration generation with prompt carry-over
@@ -713,5 +717,7 @@ class VauraSystem:
         codes = jnp.concatenate(all_tokens, axis=-1)[..., :total_tokens]
         result: Dict[str, jax.Array] = {"codes": codes}
         if decode_to_audio:
-            result["audio"] = self.decode_audio(params, codes)
+            result["audio"] = self.decode_audio(
+                params, codes, chunk_size=dac_chunk_size
+            )
         return result
