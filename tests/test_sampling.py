@@ -92,17 +92,19 @@ def test_sampling_is_jittable():
 
 # ------------------------- schedules ------------------------- #
 def test_inverse_sqrt_schedule():
+    # realized-step indexing: step s evaluates the torch scheduler at
+    # s+1 (test_reference_oracle_schedules locks the full sequence)
     sched = inverse_sqrt_schedule(1e-3, warmup_steps=100, warmup_init_lr=1e-6)
-    assert float(sched(0)) == pytest.approx(1e-6)
-    assert float(sched(50)) == pytest.approx(1e-6 + 0.5 * (1e-3 - 1e-6), rel=1e-3)
-    assert float(sched(100)) == pytest.approx(1e-3, rel=1e-3)
-    assert float(sched(400)) == pytest.approx(1e-3 * (100 / 400) ** 0.5, rel=1e-3)
+    assert float(sched(0)) == pytest.approx(1e-6 + 0.01 * (1e-3 - 1e-6))
+    assert float(sched(49)) == pytest.approx(1e-6 + 0.5 * (1e-3 - 1e-6), rel=1e-3)
+    assert float(sched(99)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(sched(399)) == pytest.approx(1e-3 * (100 / 400) ** 0.5, rel=1e-3)
 
 
 def test_warmup_to_static():
     sched = warmup_to_static_schedule(2e-4, warmup_steps=10)
-    assert float(sched(0)) == 0.0
-    assert float(sched(10)) == pytest.approx(2e-4)
+    assert float(sched(0)) == pytest.approx(2e-5)
+    assert float(sched(9)) == pytest.approx(2e-4)
     assert float(sched(1000)) == pytest.approx(2e-4)
 
 

@@ -25,11 +25,16 @@ def inverse_sqrt_schedule(
     base_lr: float, warmup_steps: int, warmup_init_lr: Optional[float] = 0.0
 ) -> Schedule:
     """Linear warmup then lr * sqrt(warmup/step) decay
-    (reference ``lr_schedulers.py:14-47``)."""
+    (reference ``lr_schedulers.py:14-47``).
+
+    Matches the reference's REALIZED sequence: torch ``_LRScheduler``
+    pre-steps once at construction (``_step_count`` starts at 1), so the
+    optimizer never sees the 0-LR warmup point — caught by
+    ``tests/test_reference_oracle_schedules.py``."""
     warmup_init = warmup_init_lr or 0.0
 
     def schedule(step):
-        step = jnp.asarray(step, dtype=jnp.float32)
+        step = jnp.asarray(step, dtype=jnp.float32) + 1.0
         warm = warmup_init + step * (base_lr - warmup_init) / max(warmup_steps, 1)
         decay = base_lr * (warmup_steps**0.5) * jnp.maximum(step, 1.0) ** -0.5
         return jnp.where(step < warmup_steps, warm, decay)
@@ -40,11 +45,12 @@ def inverse_sqrt_schedule(
 def warmup_to_static_schedule(
     base_lr: float, warmup_steps: int, warmup_init_lr: Optional[float] = 0.0
 ) -> Schedule:
-    """Linear warmup then constant (reference ``lr_schedulers.py:50-71``)."""
+    """Linear warmup then constant (reference ``lr_schedulers.py:50-71``;
+    same +1 realized-step indexing as ``inverse_sqrt_schedule``)."""
     warmup_init = warmup_init_lr or 0.0
 
     def schedule(step):
-        step = jnp.asarray(step, dtype=jnp.float32)
+        step = jnp.asarray(step, dtype=jnp.float32) + 1.0
         warm = warmup_init + step * (base_lr - warmup_init) / max(warmup_steps, 1)
         return jnp.where(step < warmup_steps, warm, base_lr)
 
