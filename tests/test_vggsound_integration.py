@@ -140,3 +140,50 @@ def test_datamodule_batches(vgg_root):
     assert batch["frames"].shape == (2, 1, 3, 16, 64, 64)
     assert batch["audio"].shape[0] == 2
     assert len(batch["meta"]["filepath"]) == 2
+
+
+def test_precomputed_codes_batch_and_train_step(vgg_root, tmp_path):
+    """codes_dir plumbs precomputed DAC tokens into batches, and the train
+    step consumes the `codes` key instead of re-encoding the frozen codec
+    every step (measured 274->200 ms/step at flagship on v5e)."""
+    import jax
+    import jax.numpy as jnp
+
+    K, T = 3, 12
+    rng = np.random.default_rng(9)
+    for name in vgg_root["names"]:
+        np.save(tmp_path / f"{name}.codes.npy",
+                rng.integers(0, 17, size=(K, T)).astype(np.int16))
+    ds = _dataset(vgg_root, codes_dir=tmp_path)
+    item = ds[0]
+    assert item["codes"].shape == (K, T) and item["codes"].dtype == np.int32
+
+    from vaura_tpu.data.core import DataLoader
+
+    batch = next(iter(DataLoader(ds, 2)))
+    assert batch["codes"].shape == (2, K, T)
+
+    # the train step prefers batch codes over audio
+    import sys as _s
+    _s.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_lora import DAC_TINY, TINY
+
+    from vaura_tpu.models.vaura import VauraSystem
+    from vaura_tpu.train.state import TrainState, make_optimizer
+    from vaura_tpu.train.steps import make_train_step, split_params
+
+    sys_ = VauraSystem(sampler_config=TINY, dac_config=DAC_TINY,
+                       encoder_config=None, use_visual_conditioning=True)
+    params = sys_.init_params(jax.random.PRNGKey(0))
+    trainable, frozen = split_params(sys_, params)
+    state = TrainState.create(trainable, make_optimizer(1e-3))
+    step = make_train_step(sys_, donate=False)
+    train_batch = {
+        "frames": jnp.asarray(
+            rng.standard_normal((2, 4, 768)).astype(np.float32)
+        ),
+        "codes": jnp.asarray(batch["codes"]),
+        # no "audio" key at all: codes path must not require it
+    }
+    state2, metrics = step(state, frozen, train_batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))

@@ -79,6 +79,7 @@ class VggSoundDataset(Dataset):
         insync_filter_threshold: int = -1,
         insync_file_path: Optional[str] = None,
         max_load_attempts: int = 10,
+        codes_dir: Optional[str | Path] = None,
         seed: int = 0,
         **_,
     ):
@@ -112,6 +113,18 @@ class VggSoundDataset(Dataset):
         self.partition_audio_to_clips = partition_audio_to_clips
         self.partition_video_to_clips = partition_video_to_clips
         self.max_load_attempts = max_load_attempts
+        # precomputed DAC tokens (scripts/precompute_codes.py): training
+        # consumes the `codes` batch key and skips the per-step frozen
+        # encode (measured 274 -> 200 ms/step on v5e). Codes are crop-
+        # aligned only for fixed start points — with random train crops
+        # the npy must have been produced over the same crops.
+        self.codes_dir = Path(codes_dir) if codes_dir else None
+        if self.codes_dir is not None and split == "train":
+            logger.warning(
+                "codes_dir with the train split: ensure the precomputed "
+                "codes match this split's (random) crops — fixed-start "
+                "splits align exactly"
+            )
         self._rng = np.random.default_rng((seed, hash(split) & 0xFFFF))
         self.audio_transforms = build_transforms(audio_transforms)
         self.video_transforms = build_transforms(video_transforms)
@@ -327,7 +340,12 @@ class VggSoundDataset(Dataset):
                 audio, self.frames_per_clip, self.frame_step, self.v_sr, self.a_sr,
                 self.num_clips,
             )
-        return {"frames": frames, "audio": audio, "meta": meta}
+        item = {"frames": frames, "audio": audio, "meta": meta}
+        if self.codes_dir is not None:
+            cp = self.codes_dir / f"{path.stem}.codes.npy"
+            if cp.exists():
+                item["codes"] = np.load(cp).astype(np.int32)
+        return item
 
 
 class VggSoundDataModule(DataModule):

@@ -222,13 +222,23 @@ class VauraSystem:
     ) -> jax.Array:
         """Run the visual encoder and flatten segments
         (reference ``_handle_visual_conditioning``,
-        ``vaura_model.py:194-214``). Returns [B, S*8, 768]."""
-        assert self.encoder is not None
-        feats, _ = self.encoder.apply(
-            {"params": params["encoder"]}, frames, train=train, rngs=rngs or {}
-        )
-        B, S, t, D = feats.shape
-        feats = feats.reshape(B, S * t, D)
+        ``vaura_model.py:194-214``). Returns [B, S*8, 768].
+
+        With no encoder configured, a 3-D ``frames`` tensor is taken as
+        already-extracted ``[B, Tv, D]`` features (feature-cached
+        datasets / precomputed-feature training)."""
+        if self.encoder is None:
+            assert frames is not None and frames.ndim == 3, (
+                "no visual encoder configured: pass [B, Tv, D] features"
+            )
+            feats = frames
+        else:
+            feats, _ = self.encoder.apply(
+                {"params": params["encoder"]}, frames, train=train,
+                rngs=rngs or {},
+            )
+            B, S, t, D = feats.shape
+            feats = feats.reshape(B, S * t, D)
         if self.freeze_feature_extractor:
             feats = jax.lax.stop_gradient(feats)
         if self.bridge is not None:

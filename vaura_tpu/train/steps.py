@@ -61,7 +61,8 @@ def make_train_step(
         def loss_fn(trainable):
             params = {**frozen, **trainable}
             loss, aux = system.train_forward(
-                params, batch.get("frames"), batch["audio"], rng, train=True
+                params, batch.get("frames"), batch.get("audio"), rng,
+                train=True, codes=batch.get("codes"),
             )
             return loss, aux["loss_per_codebook"]
 
@@ -82,7 +83,8 @@ def make_eval_step(system: VauraSystem) -> Callable:
     def eval_step(trainable: Dict[str, Any], frozen: Dict[str, Any], batch, rng):
         params = {**frozen, **trainable}
         loss, aux = system.train_forward(
-            params, batch.get("frames"), batch["audio"], rng, train=False
+            params, batch.get("frames"), batch.get("audio"), rng,
+            train=False, codes=batch.get("codes"),
         )
         return {"loss": loss, "loss_per_codebook": aux["loss_per_codebook"]}
 
@@ -95,7 +97,7 @@ def make_eval_step(system: VauraSystem) -> Callable:
 def array_batch(batch: dict) -> dict:
     """Keep only the jit-compatible array leaves the step functions consume
     (meta strings/lists never cross the jit boundary)."""
-    return {k: batch[k] for k in ("frames", "audio") if k in batch}
+    return {k: batch[k] for k in ("frames", "audio", "codes") if k in batch}
 
 
 def batch_to_device(batch: dict, sharding=None) -> dict:
