@@ -1,0 +1,316 @@
+"""Batched generation server (production-serving front-end).
+
+The reference has no serving path (its generate loop is an offline
+O(S^2)-per-token host script); this server packages the TPU-native
+pipeline for deployment: one compiled fixed-shape generation graph, a
+micro-batching queue in front of it (requests are padded to the compiled
+batch and answered individually), and a plain-HTTP surface so any client
+can drive it.
+
+Endpoints::
+
+    GET  /healthz            -> {"status": "ok", "batch": B, ...}
+    POST /generate           body: {"features": [[...768 floats...] x Tv]}
+                             or    {"video_b64": "<base64 mp4>"}
+                             -> WAV bytes (audio/wav)
+    POST /generate?raw=codes -> JSON {"codes": [[...]]} (token output)
+
+Batching: requests queue up; the worker drains up to ``--batch`` of them
+(or waits ``--max-wait-ms``), pads the batch, runs the single compiled
+graph, and replies per-request. Throughput at the compiled batch follows
+bench.py (65.8 audio-sec/s/chip at B=128 on v5e).
+
+Usage::
+
+    python scripts/serve.py config=CONFIG.yaml [experiment_path=...]
+        [port=8800] [batch=8] [duration=2.56] [quantize=true]
+        [trainer.platform=cpu]
+"""
+
+from __future__ import annotations
+
+if __package__ in (None, ""):  # direct `python scripts/X.py` invocation
+    import sys as _sys
+    from pathlib import Path as _P
+
+    _sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
+
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+logger = logging.getLogger("serve")
+
+
+class GenerationService:
+    """Owns the compiled generation graph and the micro-batching queue."""
+
+    def __init__(self, cfg: dict):
+        import jax
+
+        platform = (cfg.get("trainer") or {}).get("platform")
+        if platform:
+            jax.config.update("jax_platforms", str(platform))
+        import jax.numpy as jnp
+
+        from vaura_tpu.models.factory import build_system, maybe_load_pretrained
+        from vaura_tpu.train.steps import split_params
+        from vaura_tpu.utils import cast_floats
+        from vaura_tpu.utils.experiment import (
+            load_hparams,
+            resolve_best_checkpoint,
+            resolve_experiment_paths,
+        )
+
+        self.batch = int(cfg.get("batch", 8))
+        self.duration = float(cfg.get("duration", 2.56))
+        self.tokens = int(self.duration * 86)
+        self.max_wait_s = float(cfg.get("max_wait_ms", 20)) / 1e3
+        self.sampling = dict(
+            use_sampling=bool(cfg.get("use_sampling", True)),
+            temp=float(cfg.get("temperature", 1.0)),
+            top_k=int(cfg.get("top_k", 128)),
+            top_p=float(cfg.get("top_p", 0.0)),
+            cfg_scale=float(cfg.get("cfg_scale", 6.0)),
+        )
+
+        model_cfg = cfg["model"]
+        ckpt_path = cfg.get("ckpt_path")
+        exp = cfg.get("experiment_path")
+        if exp:
+            paths = resolve_experiment_paths(exp)
+            if paths["hparams"] is not None:
+                model_cfg = load_hparams(paths["hparams"])["model"]
+            if ckpt_path is None:
+                best = resolve_best_checkpoint(paths["checkpoints"])
+                ckpt_path = str(best) if best else None
+
+        self.system = build_system(model_cfg)
+        rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+        params = self.system.init_params(rng)
+        params = maybe_load_pretrained(params, model_cfg)
+        params = self.system.load_dac_embeddings_into_sampler(params)
+        if ckpt_path:
+            from vaura_tpu.train.checkpoint import restore_trainable_params
+
+            trainable, frozen = split_params(self.system, params)
+            trainable = restore_trainable_params(
+                ckpt_path, trainable, model_cfg, cfg.get("trainer")
+            )
+            params = {**frozen, **trainable}
+            logger.info("loaded %s", ckpt_path)
+        else:
+            logger.warning("serving RANDOM weights (no checkpoint given)")
+        params = cast_floats(params, jnp.bfloat16)
+        if cfg.get("quantize"):
+            import dataclasses as _dc
+
+            from vaura_tpu.ops.quantization import quantize_sampler_params
+
+            params = dict(params)
+            params["sampler"] = quantize_sampler_params(
+                jax.device_get(params["sampler"])
+            )
+            self.system.sampler_config = _dc.replace(
+                self.system.sampler_config,
+                quantize_weights=True, quantize_cache=True,
+            )
+            self.system.__post_init__()
+        self.params = params
+        self.cond_dim = self.system.sampler_config.cond_in_dim
+        self.sample_rate = self.system.dac_config.sample_rate
+        self._rng = rng
+        self._jax = jax
+        self._q: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+
+    # ------------------------------------------------------------------ #
+    def start(self):
+        self._warmup()
+        self._worker.start()
+
+    def _generate(self, feats, rng):
+        return self.system.generate(
+            self.params, None, rng,
+            vis_feats=feats,
+            max_new_tokens=self.tokens,
+            tokens_per_frame=7,
+            decode_to_audio=True,
+            **self.sampling,
+        )
+
+    def _warmup(self):
+        import jax.numpy as jnp
+
+        t0 = time.time()
+        feats = jnp.zeros((self.batch, 8, self.cond_dim))
+        out = self._generate(feats, self._jax.random.PRNGKey(0))
+        np.asarray(out["audio"])
+        logger.info(
+            "compiled generation graph: batch=%d duration=%.2fs (%.1fs)",
+            self.batch, self.duration, time.time() - t0,
+        )
+
+    def video_to_features(self, video_bytes: bytes) -> np.ndarray:
+        """mp4 bytes -> [Tv, cond_dim] features via the visual encoder."""
+        assert self.system.encoder is not None, "no visual encoder configured"
+        import tempfile
+
+        import jax.numpy as jnp
+
+        from vaura_tpu.data import media
+
+        with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+            f.write(video_bytes)
+            f.flush()
+            frames, _, _ = media.read_video(
+                f.name, fps=25.0, duration=self.duration + 0.01,
+                want_audio=False,
+            )
+        fps = 16  # frames per segment (divided_224_16x4 contract)
+        n_seg = max(1, frames.shape[0] // fps)
+        frames = frames[: n_seg * fps]
+        x = frames.astype(np.float32) / 255.0
+        x = np.transpose(x, (3, 0, 1, 2)).reshape(
+            3, n_seg, fps, *frames.shape[1:3]
+        ).transpose(1, 0, 2, 3, 4)[None]  # [1, S, C, T, H, W]
+        feats = self.system.visual_features(self.params, jnp.asarray(x))
+        return np.asarray(feats)[0]
+
+    def submit(self, feats: np.ndarray, want: str = "audio"):
+        """Enqueue one request; blocks until its result is ready."""
+        done = threading.Event()
+        slot: dict = {"feats": feats, "want": want, "done": done}
+        self._q.put(slot)
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["result"]
+
+    def _loop(self):
+        import jax.numpy as jnp
+
+        while True:
+            slots = [self._q.get()]
+            deadline = time.time() + self.max_wait_s
+            while len(slots) < self.batch:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    slots.append(self._q.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            try:
+                tv = max(s["feats"].shape[0] for s in slots)
+                feats = np.zeros((self.batch, tv, self.cond_dim), np.float32)
+                for i, s in enumerate(slots):
+                    feats[i, : s["feats"].shape[0]] = s["feats"]
+                self._rng, sub = self._jax.random.split(self._rng)
+                out = self._generate(jnp.asarray(feats), sub)
+                audio = np.asarray(out["audio"], np.float32)
+                codes = np.asarray(out["codes"])
+                for i, s in enumerate(slots):
+                    s["result"] = (
+                        codes[i] if s["want"] == "codes" else audio[i]
+                    )
+                    s["done"].set()
+            except Exception as e:  # pragma: no cover - defensive
+                logger.exception("batch failed")
+                for s in slots:
+                    s["error"] = str(e)
+                    s["done"].set()
+
+
+def make_handler(service: GenerationService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.info("%s " + fmt, self.client_address[0], *args)
+
+        def _reply(self, code, body: bytes, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                info = {
+                    "status": "ok",
+                    "batch": service.batch,
+                    "duration_s": service.duration,
+                    "sample_rate": service.sample_rate,
+                    "cond_dim": service.cond_dim,
+                }
+                self._reply(200, json.dumps(info).encode())
+            else:
+                self._reply(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            if not self.path.startswith("/generate"):
+                self._reply(404, b'{"error": "not found"}')
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if "features" in req:
+                    feats = np.asarray(req["features"], np.float32)
+                    assert feats.ndim == 2 and feats.shape[1] == service.cond_dim, (
+                        f"features must be [Tv, {service.cond_dim}]"
+                    )
+                elif "video_b64" in req:
+                    feats = service.video_to_features(
+                        base64.b64decode(req["video_b64"])
+                    )
+                else:
+                    raise ValueError("body needs 'features' or 'video_b64'")
+                want = "codes" if "raw=codes" in self.path else "audio"
+                result = service.submit(feats, want)
+                if want == "codes":
+                    self._reply(
+                        200, json.dumps({"codes": result.tolist()}).encode()
+                    )
+                else:
+                    from vaura_tpu.ops.audio import write_wav
+
+                    buf = io.BytesIO()
+                    write_wav(buf, result.reshape(1, -1), service.sample_rate)
+                    self._reply(200, buf.getvalue(), "audio/wav")
+            except Exception as e:
+                self._reply(400, json.dumps({"error": str(e)}).encode())
+
+    return Handler
+
+
+def main() -> None:
+    import sys
+
+    logging.basicConfig(level=logging.INFO)
+    from vaura_tpu.config import assemble_config
+
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    cfg = assemble_config(
+        sys.argv[1:],
+        defaults_path=repo / "configs" / "vaura_defaults.yaml",
+        base_dir=repo,
+    )
+    service = GenerationService(cfg)
+    service.start()
+    port = int(cfg.get("port", 8800))
+    server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
+    logger.info("serving on http://127.0.0.1:%d (batch=%d)", port, service.batch)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,11 @@ class SamplerConfig:
     use_visual_conditioning: bool = True
     use_pallas_decode: bool = False  # Pallas bounded-read decode attention
     remat: bool = False  # rematerialize blocks (activation memory ~/L)
+    # remat checkpoint policy: None = save nothing (recompute all);
+    # 'dots_no_batch' = save matmul outputs without batch dims (the usual
+    # transformer sweet spot: skips recomputing the big dots at modest
+    # memory cost); 'dots' = save all dot outputs
+    remat_policy: Optional[str] = None
     quantize_weights: bool = False  # int8 weight-only matmuls (inference)
     quantize_cache: bool = False  # int8 KV cache (halves decode cache reads)
     scan_unroll: int = 1  # unroll factor for the layer scan (perf knob)
@@ -545,11 +550,18 @@ class Sampler(nn.Module):
             (cfg.cond_dim,),
             cfg.param_dtype,
         )
-        block_def = (
-            nn.remat(TransformerBlock, static_argnums=(4, 5))
-            if cfg.remat
-            else TransformerBlock
-        )
+        if cfg.remat:
+            policy = {
+                "dots": jax.checkpoint_policies.dots_saveable,
+                "dots_no_batch":
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                None: None,
+            }[cfg.remat_policy]
+            block_def = nn.remat(
+                TransformerBlock, static_argnums=(4, 5), policy=policy
+            )
+        else:
+            block_def = TransformerBlock
         block = nn.scan(
             block_def,
             variable_axes={"params": 0},

@@ -166,13 +166,16 @@ def resample_poly(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 # ----------------------------------------------------------------- #
 # WAV I/O (stdlib)
 # ----------------------------------------------------------------- #
-def write_wav(path: str | Path, wav: np.ndarray, sample_rate: int) -> None:
-    """16-bit PCM WAV writer. ``wav``: [T] or [C, T] float in [-1, 1]."""
+def write_wav(path, wav: np.ndarray, sample_rate: int) -> None:
+    """16-bit PCM WAV writer. ``wav``: [T] or [C, T] float in [-1, 1].
+    ``path``: filename or a binary file-like object (e.g. BytesIO for the
+    serving surface)."""
     wav = np.asarray(wav)
     if wav.ndim == 1:
         wav = wav[None]
     pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2")
-    with wave.open(str(path), "wb") as f:
+    dest = path if hasattr(path, "write") else str(path)
+    with wave.open(dest, "wb") as f:
         f.setnchannels(pcm.shape[0])
         f.setsampwidth(2)
         f.setframerate(sample_rate)
