@@ -1,0 +1,85 @@
+"""Serving front-end (scripts/serve.py): compiled-batch micro-batching
+server over the tiny dummy config — health, WAV + codes responses,
+concurrent request coalescing, input validation."""
+
+import concurrent.futures
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+import wave
+from http.server import ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def server():
+    from scripts.serve import GenerationService, make_handler
+    from vaura_tpu.config import assemble_config
+
+    cfg = dict(
+        assemble_config(
+            [f"config={REPO / 'configs/experiments/dummy.yaml'}"],
+            defaults_path=REPO / "configs" / "vaura_defaults.yaml",
+            base_dir=REPO,
+        )
+    )
+    cfg.update(batch=2, duration=0.15, top_k=8, max_wait_ms=50)
+    service = GenerationService(cfg)
+    service.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", service
+    httpd.shutdown()
+
+
+def _post(base, path, payload):
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return urllib.request.urlopen(req).read()
+
+
+def test_healthz(server):
+    base, service = server
+    info = json.loads(urllib.request.urlopen(base + "/healthz").read())
+    assert info["status"] == "ok"
+    assert info["batch"] == 2 and info["cond_dim"] == service.cond_dim
+
+
+def test_concurrent_requests_coalesce_into_one_batch(server):
+    base, service = server
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((4, service.cond_dim)).astype(np.float32)
+    payload = {"features": feats.tolist()}
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        f_wav = ex.submit(_post, base, "/generate", payload)
+        f_codes = ex.submit(_post, base, "/generate?raw=codes", payload)
+        wav_bytes, codes_bytes = f_wav.result(60), f_codes.result(60)
+    with wave.open(io.BytesIO(wav_bytes)) as w:
+        assert w.getframerate() == service.sample_rate
+        assert w.getnframes() > 0
+    codes = json.loads(codes_bytes)["codes"]
+    assert len(codes) == service.system.num_codebooks
+    assert all(0 <= c <= service.system.special_token_id
+               for row in codes for c in row)
+
+
+def test_input_validation(server):
+    base, service = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/generate", {"nope": 1})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/generate", {"features": [[0.0] * 7]})
+    assert e.value.code == 400
+    assert str(service.cond_dim) in e.value.read().decode()
