@@ -42,6 +42,10 @@ def finetune(cfg: dict) -> dict:
     for key in ("lora_rank", "lora_target_modules", "lora_alpha"):
         if ft_cfg.get(key) is not None:
             model_cfg[key] = ft_cfg[key]
+    # hparams must carry the effective model config (incl. lora keys) so
+    # generate/test rebuild the same system from the experiment dir
+    cfg = dict(cfg)
+    cfg["model"] = model_cfg
 
     dirs = init_log_directory(
         trainer_cfg.get("log_dir", "./logs"),

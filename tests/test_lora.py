@@ -209,3 +209,43 @@ def test_finetune_action_with_lora(tmp_path):
     payload = ocp.StandardCheckpointer().restore(best.resolve())
     assert "lora_sampler" in payload["params"]
     assert "sampler" not in payload["params"]  # base stays out of run ckpts
+
+
+@pytest.mark.slow
+def test_generate_from_lora_experiment(tmp_path):
+    """Full workflow: LoRA finetune -> generate pointing at the experiment
+    (hparams carry lora_rank; the adapter tree restores into the trainable
+    slot and merges at generation)."""
+    from pathlib import Path
+
+    from scripts.finetune import finetune
+    from scripts.generate import generate
+    from vaura_tpu.config import assemble_config
+
+    REPO = Path(__file__).resolve().parents[1]
+    cfg = assemble_config(
+        [
+            f"config={REPO / 'configs/experiments/dummy.yaml'}",
+            f"trainer.log_dir={tmp_path}",
+            "trainer.fast_dev_run=2",
+        ],
+        defaults_path=REPO / "configs" / "vaura_defaults.yaml",
+        base_dir=REPO,
+    )
+    cfg = dict(cfg)
+    cfg["finetune"] = {"lora_rank": 4}
+    result = finetune(cfg)
+
+    gcfg = dict(cfg)
+    gcfg["action"] = "generate"
+    gcfg["experiment_path"] = str(result["dirs"]["root"])
+    gcfg["duration"] = 0.15
+    gcfg["model_max_duration"] = 0.64
+    gcfg["top_k"] = 8
+    gcfg["output_dir"] = str(tmp_path / "gen_lora")
+    gcfg["dataloader"] = dict(gcfg["dataloader"])
+    gcfg["dataloader"]["batch_size"] = 1
+    gcfg["max_batches"] = 1
+    out = generate(gcfg)
+    assert out["num_generated"] >= 1
+    assert list((tmp_path / "gen_lora").glob("*.wav"))
