@@ -53,6 +53,12 @@ def main() -> None:
         "--mode", choices=["generate", "train"], default="generate",
         help="train: flagship train-step throughput instead of generation",
     )
+    ap.add_argument(
+        "--precomputed-codes", action="store_true",
+        help="train mode: feed precomputed codec tokens (the "
+             "scripts/precompute_codes.py pipeline) instead of encoding "
+             "audio every step — measured 274 vs 200 ms/step at B=12",
+    )
     args = ap.parse_args()
 
     if args.mode == "train":
@@ -219,11 +225,12 @@ def bench_train(args) -> None:
     frozen = {"dac": dac}
     state = TrainState.create({"sampler": sam}, make_optimizer(1e-4))
 
-    def train_step(state, audio, vis, rng):
+    def train_step(state, audio, codes, vis, rng):
         def loss_fn(trainable):
             params = {**frozen, **trainable}
             loss, _ = system.train_forward(
-                params, None, audio, rng, train=True, vis_feats=vis
+                params, None, audio, rng, train=True, vis_feats=vis,
+                codes=codes,
             )
             return loss
 
@@ -232,16 +239,21 @@ def bench_train(args) -> None:
 
     step = jax.jit(train_step, donate_argnums=(0,))
     rngb = np.random.default_rng(0)
-    audio = jnp.asarray(
-        (rngb.standard_normal((B, 1, 112896)) * 0.1).astype(np.float32)
-    )
+    if args.precomputed_codes:
+        audio = None
+        codes = jax.random.randint(rng, (B, 9, 221), 0, 1024)
+    else:
+        audio = jnp.asarray(
+            (rngb.standard_normal((B, 1, 112896)) * 0.1).astype(np.float32)
+        )
+        codes = None
     vis = jnp.asarray(rngb.standard_normal((B, 32, 768)).astype(np.float32))
-    state, l = step(state, audio, vis, jax.random.PRNGKey(1))
+    state, l = step(state, audio, codes, vis, jax.random.PRNGKey(1))
     float(np.asarray(l))  # sync
     times = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        state, l = step(state, audio, vis, jax.random.PRNGKey(2 + i))
+        state, l = step(state, audio, codes, vis, jax.random.PRNGKey(2 + i))
         float(np.asarray(l))
         times.append(time.perf_counter() - t0)
     dt = min(times)
