@@ -130,10 +130,12 @@ def main() -> None:
         codes = jnp.clip(codes[..., : args.tokens], 0, sampler_cfg.d_codebook - 1)
         if args.no_dac:
             return codes
-        # chunked waveform decode: DAC activation temps (not the KV cache)
-        # are what OOMs first at B>=144 on 16 GB HBM
+        # chunked waveform decode only where memory demands it: DAC
+        # activation temps OOM at B>=144 on 16 GB HBM, but the serialized
+        # lax.map slices cost ~12% at B=128 (65.8 -> 58.3), so full-batch
+        # decode below that
         audio = system.decode_audio(
-            params, codes, chunk_size=32 if B > 32 else None
+            params, codes, chunk_size=32 if B >= 144 else None
         )
         # return a checksum, not the waveform: the full 14 MB host fetch
         # would measure the PJRT transport, not the chip (production

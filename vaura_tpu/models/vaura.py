@@ -340,7 +340,8 @@ class VauraSystem:
         sequential slices via ``lax.map``: the DAC decoder's intermediate
         activations (up to ~27 MB/clip at 2.56 s) otherwise bound the
         generation batch — at B=144 the decode temps alone exceed v5e HBM
-        while the AR loop still fits."""
+        while the AR loop still fits. Opt-in: the serialized slices cost
+        ~12% at B=128, so only chunk when the full-batch decode OOMs."""
         dec = lambda c: self.dac.apply(
             {"params": params["dac"]}, c, method=self.dac.decode
         )
@@ -546,7 +547,7 @@ class VauraSystem:
         remove_prompts: bool = False,
         vis_feats: Optional[jax.Array] = None,
         decode_to_audio: bool = True,
-        dac_chunk_size: Optional[int] = 32,
+        dac_chunk_size: Optional[int] = None,
         check: bool = False,
     ) -> Dict[str, jax.Array]:
         """Full generation pipeline (reference ``VAURAModel.generate``,
@@ -663,7 +664,7 @@ class VauraSystem:
         tokens_per_frame: int = 7,
         vis_feats_segments: Optional[jax.Array] = None,  # [B, S_total, t, D]
         decode_to_audio: bool = True,
-        dac_chunk_size: Optional[int] = 32,
+        dac_chunk_size: Optional[int] = None,
         **sampling,
     ) -> Dict[str, jax.Array]:
         """Chunked long-duration generation with prompt carry-over
