@@ -5,9 +5,12 @@ Usage::
 
     python main.py config=configs/experiments/dummy.yaml [key=value ...]
 
-Actions: ``train`` | ``test`` | ``generate`` (``eval`` points at the
-external evaluation framework like the reference, ``main.py:109-111``;
-``finetune`` is not implemented, matching ``main.py:114-115``).
+Actions: ``train`` | ``test`` | ``generate`` | ``finetune`` | ``eval``.
+The last two go beyond the reference, where ``eval`` only prints a pointer
+to the external evaluation framework (``main.py:109-111``) and
+``finetune`` raises NotImplementedError (``main.py:114-115``): here
+``eval`` runs the in-repo FAD/KLD metrics (``scripts/eval_metrics.py``)
+and ``finetune`` supports full and LoRA finetuning (``scripts/finetune.py``).
 """
 
 from __future__ import annotations

@@ -93,6 +93,8 @@ def finetune(cfg: dict) -> dict:
                 )
             )
         logger.info("finetuning from %s", init_from)
+    else:
+        logger.warning("finetune.init_from not set: training from scratch")
     if int(model_cfg.get("lora_rank", 0) or 0) > 0:
         from vaura_tpu.train.lora import count_lora_params
 
@@ -101,8 +103,6 @@ def finetune(cfg: dict) -> dict:
             model_cfg["lora_rank"],
             count_lora_params(params["lora_sampler"]),
         )
-    else:
-        logger.warning("finetune.init_from not set: training from scratch")
 
     trainer = Trainer(system, trainer_cfg, model_cfg, dirs)
     result = trainer.fit(params, datamodule, rng)

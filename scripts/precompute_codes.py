@@ -64,6 +64,19 @@ def main() -> None:
     )
     dl_cfg = dict(cfg["dataloader"])
     dl_cfg["batch_size"] = args.batch
+    # we are producing the sidecars; don't let the dataset pre-filter on
+    # (or try to load) codes that don't exist yet
+    dl_cfg.pop("codes_dir", None)
+    if args.split == "train":
+        # Train crops are normally re-sampled every epoch; codes encoded
+        # from one random crop would mismatch later epochs' frames/audio.
+        # Force stable per-clip crops here — training with codes_dir must
+        # set the same flag (the dataset enforces it).
+        dl_cfg["deterministic_train_crops"] = True
+        logger.info(
+            "train split: forcing deterministic_train_crops=true so the "
+            "precomputed codes align with training crops"
+        )
     system = build_system(cfg["model"])
     params = system.init_params(jax.random.PRNGKey(0))
     params = maybe_load_pretrained(params, cfg["model"])

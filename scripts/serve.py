@@ -72,6 +72,12 @@ class GenerationService:
         self.batch = int(cfg.get("batch", 8))
         self.duration = float(cfg.get("duration", 2.56))
         self.tokens = int(self.duration * 86)
+        # Fixed conditioning length: every request is padded to this many
+        # feature rows so the jitted graph compiles exactly once (25 fps,
+        # 16-frame segments, 8 features/segment — divided_224_16x4
+        # contract; 2.56 s -> 32). Variable tv would recompile per batch
+        # and block the first real request on a cold remote compile.
+        self.tv = max(1, int(self.duration * 25.0) // 16) * 8
         self.max_wait_s = float(cfg.get("max_wait_ms", 20)) / 1e3
         self.sampling = dict(
             use_sampling=bool(cfg.get("use_sampling", True)),
@@ -150,12 +156,12 @@ class GenerationService:
         import jax.numpy as jnp
 
         t0 = time.time()
-        feats = jnp.zeros((self.batch, 8, self.cond_dim))
+        feats = jnp.zeros((self.batch, self.tv, self.cond_dim))
         out = self._generate(feats, self._jax.random.PRNGKey(0))
         np.asarray(out["audio"])
         logger.info(
-            "compiled generation graph: batch=%d duration=%.2fs (%.1fs)",
-            self.batch, self.duration, time.time() - t0,
+            "compiled generation graph: batch=%d tv=%d duration=%.2fs (%.1fs)",
+            self.batch, self.tv, self.duration, time.time() - t0,
         )
 
     def video_to_features(self, video_bytes: bytes) -> np.ndarray:
@@ -185,7 +191,20 @@ class GenerationService:
         return np.asarray(feats)[0]
 
     def submit(self, feats: np.ndarray, want: str = "audio"):
-        """Enqueue one request; blocks until its result is ready."""
+        """Enqueue one request; blocks until its result is ready.
+
+        ``feats`` must have at most ``self.tv`` rows — shorter requests
+        are zero-padded to the fixed conditioning length (matching the
+        empty-video padding semantics of ``_repeat_and_pad_video``,
+        reference llama.py:555-586); longer ones are rejected rather than
+        silently truncated or recompiled at a new shape.
+        """
+        if feats.shape[0] > self.tv:
+            raise ValueError(
+                f"features too long: {feats.shape[0]} rows > tv={self.tv} "
+                f"(duration {self.duration:.2f}s); re-encode a shorter clip "
+                "or start the server with a larger duration"
+            )
         done = threading.Event()
         slot: dict = {"feats": feats, "want": want, "done": done}
         self._q.put(slot)
@@ -209,8 +228,9 @@ class GenerationService:
                 except queue.Empty:
                     break
             try:
-                tv = max(s["feats"].shape[0] for s in slots)
-                feats = np.zeros((self.batch, tv, self.cond_dim), np.float32)
+                feats = np.zeros(
+                    (self.batch, self.tv, self.cond_dim), np.float32
+                )
                 for i, s in enumerate(slots):
                     feats[i, : s["feats"].shape[0]] = s["feats"]
                 self._rng, sub = self._jax.random.split(self._rng)
@@ -247,6 +267,7 @@ def make_handler(service: GenerationService):
                     "status": "ok",
                     "batch": service.batch,
                     "duration_s": service.duration,
+                    "max_feature_rows": service.tv,
                     "sample_rate": service.sample_rate,
                     "cond_dim": service.cond_dim,
                 }

@@ -83,3 +83,18 @@ def test_input_validation(server):
         _post(base, "/generate", {"features": [[0.0] * 7]})
     assert e.value.code == 400
     assert str(service.cond_dim) in e.value.read().decode()
+
+
+def test_fixed_conditioning_length(server):
+    """The server pads every request to one fixed Tv (single compiled
+    graph) and rejects longer feature sequences instead of recompiling
+    (advisor r2: per-window max-tv padding recompiled per distinct Tv)."""
+    base, service = server
+    info = json.loads(urllib.request.urlopen(base + "/healthz").read())
+    assert info["max_feature_rows"] == service.tv
+    too_long = np.zeros((service.tv + 1, service.cond_dim), np.float32)
+    with pytest.raises(ValueError, match="features too long"):
+        service.submit(too_long)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/generate", {"features": too_long.tolist()})
+    assert e.value.code in (400, 500)

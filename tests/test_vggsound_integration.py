@@ -154,9 +154,27 @@ def test_precomputed_codes_batch_and_train_step(vgg_root, tmp_path):
     for name in vgg_root["names"]:
         np.save(tmp_path / f"{name}.codes.npy",
                 rng.integers(0, 17, size=(K, T)).astype(np.int16))
-    ds = _dataset(vgg_root, codes_dir=tmp_path)
+    # random train crops + codes_dir is refused (crop/code mismatch);
+    # deterministic_train_crops aligns precompute with training
+    with pytest.raises(ValueError, match="deterministic_train_crops"):
+        _dataset(vgg_root, codes_dir=tmp_path)
+    ds = _dataset(vgg_root, codes_dir=tmp_path,
+                  deterministic_train_crops=True)
     item = ds[0]
     assert item["codes"].shape == (K, T) and item["codes"].dtype == np.int32
+    # the deterministic crop is stable across dataset instances
+    ds2 = _dataset(vgg_root, codes_dir=tmp_path,
+                   deterministic_train_crops=True)
+    p = ds.files[0]
+    assert ds._start_pts(p, 10.0) == ds2._start_pts(p, 10.0)
+
+    # a missing sidecar drops the clip at init (consistent batch key set)
+    (tmp_path / f"{vgg_root['names'][0]}.codes.npy").unlink()
+    ds_drop = _dataset(vgg_root, codes_dir=tmp_path,
+                       deterministic_train_crops=True)
+    assert len(ds_drop) == len(ds) - 1
+    np.save(tmp_path / f"{vgg_root['names'][0]}.codes.npy",
+            rng.integers(0, 17, size=(K, T)).astype(np.int16))
 
     from vaura_tpu.data.core import DataLoader
 

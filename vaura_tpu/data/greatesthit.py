@@ -58,7 +58,12 @@ class GreatestHitDataset(VggSoundDataset):
             pattern = (
                 f"{f.stem}_denoised*" if self.split != "predict" else f"{f.stem}*"
             )
-            expanded.extend(sorted(self.data_path.glob(pattern)))
+            # constrain to videos: precompute_codes.py writes .codes.npy
+            # sidecars next to the clips, which the bare glob would match
+            expanded.extend(
+                p for p in sorted(self.data_path.glob(pattern))
+                if p.suffix == ".mp4"
+            )
         return super()._apply_file_filters(expanded or files, *args, **kwargs)
 
     def _start_pts(self, path: Path, duration: float) -> float:

@@ -80,6 +80,7 @@ class VggSoundDataset(Dataset):
         insync_file_path: Optional[str] = None,
         max_load_attempts: int = 10,
         codes_dir: Optional[str | Path] = None,
+        deterministic_train_crops: bool = False,
         seed: int = 0,
         **_,
     ):
@@ -119,12 +120,24 @@ class VggSoundDataset(Dataset):
         # aligned only for fixed start points — with random train crops
         # the npy must have been produced over the same crops.
         self.codes_dir = Path(codes_dir) if codes_dir else None
-        if self.codes_dir is not None and split == "train":
-            logger.warning(
-                "codes_dir with the train split: ensure the precomputed "
-                "codes match this split's (random) crops — fixed-start "
-                "splits align exactly"
+        self.deterministic_train_crops = bool(deterministic_train_crops)
+        if (
+            self.codes_dir is not None
+            and split == "train"
+            and not self.deterministic_train_crops
+        ):
+            # Random train crops re-sample every epoch, so codes encoded
+            # from one crop silently mismatch the frames/audio they are
+            # paired with. Fail fast: precompute_codes.py forces
+            # deterministic crops for the train split; training with
+            # codes_dir must opt into the same.
+            raise ValueError(
+                "codes_dir with the train split requires "
+                "deterministic_train_crops=true so the precomputed codes "
+                "align with the crops seen during training "
+                "(scripts/precompute_codes.py sets it automatically)"
             )
+        self.seed = seed
         self._rng = np.random.default_rng((seed, hash(split) & 0xFFFF))
         self.audio_transforms = build_transforms(audio_transforms)
         self.video_transforms = build_transforms(video_transforms)
@@ -159,6 +172,29 @@ class VggSoundDataset(Dataset):
             insync_file_path,
         )
         self.files = files
+        if self.codes_dir is not None:
+            # Every batch must carry a consistent key set: default_collate
+            # iterates the first item's keys, so a per-item-optional
+            # 'codes' key would either KeyError or silently drop codes for
+            # the whole batch (and flip the jitted train-step signature).
+            # Pre-scan and drop clips without a sidecar, loudly.
+            with_codes = [
+                f for f in files
+                if (self.codes_dir / f"{f.stem}.codes.npy").exists()
+            ]
+            if len(with_codes) != len(files):
+                logger.warning(
+                    "codes_dir=%s: dropping %d/%d clips without a "
+                    ".codes.npy sidecar (run scripts/precompute_codes.py "
+                    "over the full split)",
+                    self.codes_dir, len(files) - len(with_codes), len(files),
+                )
+            if not with_codes:
+                raise FileNotFoundError(
+                    f"codes_dir {self.codes_dir} has no .codes.npy sidecar "
+                    f"for any of the {len(files)} {split} clips"
+                )
+            self.files = with_codes
         logger.info("%s split: %d files", split, len(self.files))
 
     # -------------------------------------------------------------- #
@@ -259,6 +295,16 @@ class VggSoundDataset(Dataset):
         when the crop covers most of the 10 s source, video_len > 5.12)."""
         if self.split == "train":
             hi = max(duration - self.video_len - EPS, 0.0)
+            if self.deterministic_train_crops:
+                # stable per-clip crop (process-independent: crc32, not
+                # hash()) so precomputed codes and training see the same
+                # frames/audio window every epoch
+                import zlib
+
+                r = np.random.default_rng(
+                    (self.seed, zlib.crc32(path.stem.encode()))
+                )
+                return float(r.uniform(0, hi))
             return float(self._rng.uniform(0, hi))
         if self.video_len > 5.12:
             return 0.0
@@ -342,9 +388,10 @@ class VggSoundDataset(Dataset):
             )
         item = {"frames": frames, "audio": audio, "meta": meta}
         if self.codes_dir is not None:
+            # membership pre-scanned in __init__, so the key set is
+            # consistent across every item of a batch
             cp = self.codes_dir / f"{path.stem}.codes.npy"
-            if cp.exists():
-                item["codes"] = np.load(cp).astype(np.int32)
+            item["codes"] = np.load(cp).astype(np.int32)
         return item
 
 
