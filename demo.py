@@ -55,7 +55,11 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--video", type=Path, default=None)
     ap.add_argument("--ckpt", type=Path, default=None,
-                    help="orbax tree from scripts/convert_checkpoints.py")
+                    help="orbax tree from scripts/convert_checkpoints.py, "
+                         "or a reference Lightning .ckpt / experiment dir")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="jax platform override (e.g. cpu; a bare run on a "
+                         "TPU box claims the exclusive chip)")
     ap.add_argument("--duration", type=float, default=2.56)
     ap.add_argument("--long-duration", type=float, default=0.0,
                     help="if > model max (2.56), also run chunked generation")
@@ -66,6 +70,9 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", str(args.platform))
     import jax.numpy as jnp
 
     from vaura_tpu.config import load_config
@@ -83,28 +90,48 @@ def main() -> None:
             logger.info("synthesizing demo video at %s", video)
             synthesize_demo_video(video)
 
-    # build the flagship system from the default module configs
+    # build the flagship system from the default module configs — or, for
+    # a reference-distribution checkpoint (Lightning .ckpt / experiment
+    # dir), from its own hparams.yaml
+    from vaura_tpu.utils.reference_ckpt import (
+        is_reference_checkpoint,
+        load_reference_experiment,
+    )
+
     repo = Path(__file__).parent
-    model_cfg = {
-        "sampler_config": load_config(repo / "configs/modules/samplers/llama_9cbs.yaml"),
-        "audio_encoder_config": load_config(
-            repo / "configs/modules/audio_codecs/dac_8kbps_wrapper.yaml"
-        ),
-        "feature_extractor_config": load_config(
-            repo / "configs/modules/feature_extractors/avclip_vggsound.yaml"
-        ),
-        "pattern_provider_config": load_config(
-            repo / "configs/modules/codebook_patterns/delayed_9cbs.yaml"
-        ),
-        "freeze_feature_extractor": True,
-    }
+    ref_load = args.ckpt is not None and is_reference_checkpoint(args.ckpt)
+    if ref_load:
+        model_cfg, ref_params, ckpt_file = load_reference_experiment(args.ckpt)
+        logger.info("using reference checkpoint %s", ckpt_file)
+    else:
+        model_cfg = {
+            "sampler_config": load_config(repo / "configs/modules/samplers/llama_9cbs.yaml"),
+            "audio_encoder_config": load_config(
+                repo / "configs/modules/audio_codecs/dac_8kbps_wrapper.yaml"
+            ),
+            "feature_extractor_config": load_config(
+                repo / "configs/modules/feature_extractors/avclip_vggsound.yaml"
+            ),
+            "pattern_provider_config": load_config(
+                repo / "configs/modules/codebook_patterns/delayed_9cbs.yaml"
+            ),
+            "freeze_feature_extractor": True,
+        }
     system = build_system(model_cfg)
     rng = seed_everything(666)
     rng, init_rng = jax.random.split(rng)
     logger.info("initializing parameters...")
     params = system.init_params(init_rng)
     params = system.load_dac_embeddings_into_sampler(params)
-    if args.ckpt is not None:
+    if ref_load:
+        import numpy as np_
+
+        params.update({
+            k: jax.tree.map(np_.asarray, v) for k, v in ref_params.items()
+        })
+        logger.info("loaded reference checkpoint subtrees: %s",
+                    sorted(ref_params))
+    elif args.ckpt is not None:
         import orbax.checkpoint as ocp
         from vaura_tpu.train.checkpoint import abstract_like
 
@@ -125,8 +152,11 @@ def main() -> None:
     y0, x0 = (H - 224) // 2, (W - 224) // 2
     frames = frames[:, y0 : y0 + 224, x0 : x0 + 224]
     frames = (frames.astype(np.float32) / 255.0 - 0.5) / 0.5
-    n_seg = frames.shape[0] // 16
-    frames = frames[: n_seg * 16].reshape(n_seg, 16, 224, 224, 3)
+    # frames per segment from the encoder geometry (flagship: 8*2 = 16)
+    enc = system.encoder_config
+    seg_t = (enc.temporal_resolution * enc.z_block_size) if enc else 16
+    n_seg = frames.shape[0] // seg_t
+    frames = frames[: n_seg * seg_t].reshape(n_seg, seg_t, 224, 224, 3)
     frames = np.transpose(frames, (0, 4, 1, 2, 3))[None]  # [1, S, C, T, H, W]
     logger.info("video -> %s segments", n_seg)
 

@@ -43,11 +43,22 @@ def main() -> None:
     ap.add_argument("kind", choices=["vaura", "dac", "avclip", "motionformer"])
     ap.add_argument("src", type=Path)
     ap.add_argument("out", type=Path)
-    ap.add_argument("--num-layers", type=int, default=24)
-    ap.add_argument("--num-codebooks", type=int, default=9)
-    ap.add_argument("--encoder-depth", type=int, default=12)
+    ap.add_argument("--num-layers", type=int, default=None,
+                    help="default: inferred from the state dict")
+    ap.add_argument("--num-codebooks", type=int, default=None,
+                    help="default: inferred from the state dict")
+    ap.add_argument("--encoder-depth", type=int, default=None,
+                    help="default: inferred from the state dict")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="jax platform override (e.g. cpu; conversion "
+                         "never needs the TPU and a bare run on a TPU box "
+                         "claims the exclusive chip)")
     args = ap.parse_args()
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", str(args.platform))
     import torch
 
     from vaura_tpu.models import convert as C

@@ -93,21 +93,42 @@ def generate(cfg: dict) -> dict:
     cfg_scale = float(cfg.get("cfg_scale", 1.0))
     audio_norm_strategy = cfg.get("audio_norm_strategy", "clip")
 
-    # resolve experiment checkpoint + hparams
+    # resolve experiment checkpoint + hparams. Two formats:
+    #   * our training runs (orbax trees under logs/<stamp>/checkpoints)
+    #   * the reference distribution (Lightning .ckpt + hparams.yaml,
+    #     reference scripts/generate.py:43-128) — accepted under the
+    #     reference's own config key `checkpoint_path`
+    from vaura_tpu.utils.reference_ckpt import (
+        is_reference_checkpoint,
+        load_reference_experiment,
+    )
+
     exp_path = cfg.get("experiment_path")
     hparams = None
-    ckpt_path = cfg.get("ckpt_path")
-    if exp_path:
-        paths = resolve_experiment_paths(exp_path)
-        if ckpt_path is None:
-            best = resolve_best_checkpoint(paths["checkpoints"])
-            ckpt_path = str(best) if best else None
-        if paths["hparams"] is not None:
-            hparams = load_hparams(paths["hparams"])
-    model_cfg = (hparams or cfg)["model"]
-    overridden = cfg.get("overridden_hparams") or {}
-    for k, v in overridden.items():
-        model_cfg[k] = v
+    ckpt_path = cfg.get("ckpt_path") or cfg.get("checkpoint_path")
+    ref_params = None
+    probe = ckpt_path or exp_path
+    if probe and is_reference_checkpoint(probe):
+        model_cfg, ref_params, ckpt_file = load_reference_experiment(
+            probe,
+            overridden_hparams=cfg["overridden_hparams"]
+            if "overridden_hparams" in cfg else None,
+            hparams=cfg.get("hparams"),
+        )
+        logger.info("Loaded reference checkpoint %s", ckpt_file)
+        ckpt_path = None  # params come converted, not via orbax restore
+    else:
+        if exp_path:
+            paths = resolve_experiment_paths(exp_path)
+            if ckpt_path is None:
+                best = resolve_best_checkpoint(paths["checkpoints"])
+                ckpt_path = str(best) if best else None
+            if paths["hparams"] is not None:
+                hparams = load_hparams(paths["hparams"])
+        model_cfg = (hparams or cfg)["model"]
+        overridden = cfg.get("overridden_hparams") or {}
+        for k, v in overridden.items():
+            model_cfg[k] = v
 
     system = build_system(model_cfg)
     rng = seed_everything(int(cfg.get("seed", 666)))
@@ -123,6 +144,12 @@ def generate(cfg: dict) -> dict:
         )
         logger.info("Loaded checkpoint %s", ckpt_path)
     params = {**frozen, **trainable}
+    if ref_params is not None:
+        import numpy as _onp
+
+        params.update({
+            k: jax.tree.map(_onp.asarray, v) for k, v in ref_params.items()
+        })
     # bf16 weights for inference: halves weight-streaming HBM traffic
     import jax.numpy as jnp
 

@@ -274,6 +274,7 @@ def test_sampler_conversion_structure():
     np.testing.assert_allclose(eff, expected, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_motionformer_trajectory_conversion_structure():
     """Trajectory-variant torch checkpoints (attn.proj_q/proj_kv keys,
     reference vit_helper.py:174-313) convert into a tree that loads

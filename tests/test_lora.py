@@ -79,6 +79,7 @@ def test_merge_applies_delta():
     )
 
 
+@pytest.mark.slow
 def test_gradients_flow_only_to_adapters(lora_system):
     """A train step updates adapters while the base sampler (frozen tree)
     is untouched; the adapted loss moves away from the base loss."""

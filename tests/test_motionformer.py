@@ -182,6 +182,7 @@ def test_motionformer_parity_with_torch():
     np.testing.assert_allclose(np.asarray(j_out), t_out, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_motionformer_output_shape():
     model = MotionFormer(CFG)
     frames = jnp.zeros((1, 3, 3, 4, CFG.img_size, CFG.img_size))
@@ -194,6 +195,7 @@ def test_motionformer_output_shape():
     assert glob is None
 
 
+@pytest.mark.slow
 def test_motionformer_temporal_and_global_aggregation():
     """agg_time_module=TransformerEncoderLayer pools (B,S,t,D) -> (B,S,D);
     add_global_repr aggregates segments -> (B,D) via a CLS encoder layer

@@ -82,6 +82,7 @@ def test_frontend_logmel_shape_and_scale():
     assert lm44.shape == (101, 64)  # resampled to the same duration
 
 
+@pytest.mark.slow
 def test_converter_parity_vs_torch_network():
     net = _randomized_cnn14()
     params = convert_cnn14_state_dict(net.state_dict())
@@ -98,6 +99,7 @@ def test_converter_parity_vs_torch_network():
     )
 
 
+@pytest.mark.slow
 def test_eval_reports_fad_and_kld_panns(tmp_path):
     from scripts.eval_metrics import evaluate_dirs
     from vaura_tpu.ops.audio import write_wav

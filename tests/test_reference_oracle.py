@@ -279,6 +279,7 @@ def test_sampler_forward_parity_vs_reference(ref_transformer, our_sampler):
     )
 
 
+@pytest.mark.slow
 def test_sampler_decode_parity_vs_reference(ref_transformer, our_sampler):
     """Our KV-cache prefill+decode_step path reproduces the reference's
     full-prefix-recompute logits at EVERY position (the reference has no

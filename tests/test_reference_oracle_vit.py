@@ -180,6 +180,7 @@ def test_vit_tokens_parity_vs_reference(attn_layer):
     )
 
 
+@pytest.mark.slow
 def test_wrapper_spatial_temporal_global_agg_parity():
     """Full Segment-AVCLIP feature wrapper: divided ViT -> per-frame spatial
     CLS aggregation -> temporal CLS aggregation -> global segment
@@ -239,6 +240,7 @@ def test_wrapper_spatial_temporal_global_agg_parity():
     )
 
 
+@pytest.mark.slow
 def test_wrapper_identity_time_agg_parity():
     """The flagship configuration (agg_time_module=Identity): output is
     per-frame features (B, S, t, D) — reference motionformer.py:334-336."""

@@ -87,6 +87,7 @@ def _nonzero_head(params):
     return p
 
 
+@pytest.mark.slow
 def test_decode_matches_full_forward(setup):
     """Incremental KV-cache decode must reproduce the full-sequence causal
     forward position by position."""
@@ -192,6 +193,7 @@ def test_quantized_decode_close_to_float(setup):
     assert err < 0.05 * max(scale, 1.0), (err, scale)
 
 
+@pytest.mark.slow
 def test_quantized_cache_decode_close_to_float(setup):
     """int8 KV cache decode must track the float-cache decode closely."""
     import dataclasses

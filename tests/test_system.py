@@ -78,6 +78,7 @@ def _batch(B=2, seed=0):
     return {"frames": jnp.asarray(frames), "audio": jnp.asarray(audio)}
 
 
+@pytest.mark.slow
 def test_train_forward_finite(system):
     sys, params = system
     loss, aux = sys.train_forward(
@@ -101,6 +102,7 @@ def test_dac_embedding_init_matches_quantizer(system):
     np.testing.assert_allclose(emb[:, :V], cbs, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_loss_decreases_overfitting(system):
     sys, params = system
     trainable, frozen = split_params(sys, params)
@@ -122,6 +124,7 @@ def test_eval_step_runs(system):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_generate_valid_sequence(system):
     sys, params = system
     frames = _batch(B=1)["frames"]
@@ -163,6 +166,7 @@ def test_generate_preserves_prompt(system):
     assert (codes >= 0).all()
 
 
+@pytest.mark.slow
 def test_generate_greedy_deterministic(system):
     sys, params = system
     frames = _batch(B=1)["frames"]
@@ -176,6 +180,7 @@ def test_generate_greedy_deterministic(system):
     np.testing.assert_array_equal(c1, c2)
 
 
+@pytest.mark.slow
 def test_generate_long_chunked(system):
     """Chunked long-duration generation (reference generate.py:327-370):
     total = 2 chunks with prompt carry-over; output covers total_tokens and
@@ -201,6 +206,7 @@ def test_generate_long_chunked(system):
     assert out["audio"].shape == (1, 1, 16 * DAC_TINY.hop_length)
 
 
+@pytest.mark.slow
 def test_train_forward_per_clip_audio(system):
     """Non-flattened training mode: audio arrives clip-partitioned
     [B, n_clips, 1, Ta_clip] with per-clip frames (reference
@@ -221,6 +227,7 @@ def test_train_forward_per_clip_audio(system):
     assert aux["logits"].shape[0] == B * n_clips
 
 
+@pytest.mark.slow
 def test_prefill_prompt_path_matches_scan(system):
     """With a long prompt the public generate() uses the batched prefill
     fast path; its greedy output must match the pure-scan ingestion path
@@ -264,6 +271,7 @@ def test_generate_check_mode(system):
     assert out["codes"].shape == (1, 3, 10)
 
 
+@pytest.mark.slow
 def test_generate_seed_reproducibility(system):
     """Same rng -> identical sampled codes; different rng -> different."""
     sys_, params = system
@@ -276,6 +284,7 @@ def test_generate_seed_reproducibility(system):
     assert not np.array_equal(c1, c3)
 
 
+@pytest.mark.slow
 def test_decode_audio_chunked_matches_full(system):
     """Batch-chunked waveform decode (lax.map slices) matches the
     full-batch decode to float tolerance (fusion order differs) — the DAC

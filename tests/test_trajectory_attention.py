@@ -53,6 +53,7 @@ def test_spatial_full_matches_manual():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_nystrom_approximates_exact():
     # with landmarks == N the Nystrom factorization is near-exact
     rng = np.random.default_rng(1)
@@ -74,6 +75,7 @@ def test_nystrom_approximates_exact():
     assert corr > 0.99, corr
 
 
+@pytest.mark.slow
 def test_nystrom_uneven_landmarks_shape():
     rng = np.random.default_rng(2)
     BH, F, P, d = 1, 2, 7, 8  # N = 14, landmarks = 4 -> uneven segments
@@ -86,6 +88,7 @@ def test_nystrom_uneven_landmarks_shape():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_orthoformer_approximates_exact():
     rng = np.random.default_rng(3)
     BH, F, P, d = 2, 2, 12, 16
@@ -126,6 +129,7 @@ def test_performer_approximates_exact():
     assert corr > 0.9, corr
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("approx", ["none", "nystrom", "orthoformer", "performer"])
 def test_trajectory_block_forward(approx):
     cfg = MotionFormerConfig(
@@ -151,6 +155,7 @@ def test_trajectory_block_forward(approx):
     np.testing.assert_allclose(np.asarray(jit_out), np.asarray(out), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trajectory_block_matches_torch_replica():
     """Full-block parity against an independent torch implementation of the
     reference trajectory algorithm (exact path, use_original_code=True)."""
@@ -228,6 +233,7 @@ def test_trajectory_block_matches_torch_replica():
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_motionformer_trajectory_end_to_end():
     from vaura_tpu.models.motionformer import MotionFormer
 

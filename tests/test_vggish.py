@@ -69,6 +69,7 @@ def test_frontend_patch_spec():
     assert log_mel_patches(wav[:1000], sr).shape == (0, 96, 64)
 
 
+@pytest.mark.slow
 def test_converter_parity_vs_torch_network():
     """Converted torchvggish weights reproduce the torch network's 128-d
     embeddings on random log-mel patches."""
@@ -84,6 +85,7 @@ def test_converter_parity_vs_torch_network():
     np.testing.assert_allclose(ref, ours, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_eval_action_reports_fad_vggish(tmp_path):
     """The eval surface reports fad_vggish on a directory pair with a
     named pretrained-style embedder (VERDICT r1 'Done' criterion)."""

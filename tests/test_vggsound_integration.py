@@ -142,6 +142,7 @@ def test_datamodule_batches(vgg_root):
     assert len(batch["meta"]["filepath"]) == 2
 
 
+@pytest.mark.slow
 def test_precomputed_codes_batch_and_train_step(vgg_root, tmp_path):
     """codes_dir plumbs precomputed DAC tokens into batches, and the train
     step consumes the `codes` key instead of re-encoding the frozen codec

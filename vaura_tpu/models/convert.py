@@ -85,11 +85,21 @@ def _res_unit(sd, prefix) -> Dict[str, Any]:
     }
 
 
-def convert_dac_state_dict(sd: Dict[str, Any], n_enc_blocks: int = 4,
-                           n_dec_blocks: int = 4, n_codebooks: int = 9) -> Dict[str, Any]:
-    """descript-audio-codec state dict -> ``Dac`` params."""
+def convert_dac_state_dict(sd: Dict[str, Any],
+                           n_enc_blocks: Optional[int] = None,
+                           n_dec_blocks: Optional[int] = None,
+                           n_codebooks: Optional[int] = None) -> Dict[str, Any]:
+    """descript-audio-codec state dict -> ``Dac`` params. Block/codebook
+    counts default to what the key set encodes (encoder.block.N spans
+    conv_in + blocks + snake + conv_out, so blocks = N_max - 2)."""
     sd = {k.replace("model.", "", 1) if k.startswith("model.") else k: v
           for k, v in sd.items()}
+    if n_enc_blocks is None:
+        n_enc_blocks = _max_index(sd, "encoder.block.") - 3
+    if n_dec_blocks is None:
+        n_dec_blocks = _max_index(sd, "decoder.model.") - 3
+    if n_codebooks is None:
+        n_codebooks = _max_index(sd, "quantizer.quantizers.")
     enc: Dict[str, Any] = {"conv_in": _conv1d(sd, "encoder.block.0")}
     for i in range(n_enc_blocks):
         p = f"encoder.block.{i + 1}.block"
@@ -164,10 +174,13 @@ def strip_avclip_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def convert_motionformer_state_dict(
-    sd: Dict[str, Any], depth: int = 12
+    sd: Dict[str, Any], depth: Optional[int] = None
 ) -> Dict[str, Any]:
     """Motionformer/Synchformer visual encoder -> ``MotionFormer`` params
-    (scanned/stacked blocks)."""
+    (scanned/stacked blocks). ``depth`` defaults to the block count the
+    key set encodes."""
+    if depth is None:
+        depth = _max_index(sd, "blocks.")
     params: Dict[str, Any] = {}
     pe = _np(sd["patch_embed_3d.proj.weight"])  # [D, C, z, p, p]
     params["patch_embed_3d"] = {
@@ -351,16 +364,38 @@ def convert_sampler_state_dict(
 # ------------------------------------------------------------------ #
 # full V-AURA Lightning checkpoint
 # ------------------------------------------------------------------ #
+def _max_index(sd: Dict[str, Any], prefix: str) -> int:
+    """1 + highest integer following ``prefix`` in the key set (0 if none)."""
+    best = -1
+    plen = len(prefix)
+    for k in sd:
+        if k.startswith(prefix):
+            head = k[plen:].split(".", 1)[0]
+            if head.isdigit():
+                best = max(best, int(head))
+    return best + 1
+
+
+def infer_sampler_dims(sd: Dict[str, Any]) -> Dict[str, int]:
+    """Read layer/codebook counts off a reference ``Transformer`` state
+    dict so converter callers don't have to know them up front."""
+    return {
+        "num_layers": _max_index(sd, "layers."),
+        "num_codebooks": _max_index(sd, "lm_heads."),
+    }
+
+
 def convert_vaura_checkpoint(
     ckpt_path: str,
-    num_layers: int = 24,
-    num_codebooks: int = 9,
-    encoder_depth: int = 12,
+    num_layers: Optional[int] = None,
+    num_codebooks: Optional[int] = None,
+    encoder_depth: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Reference ``VAURAModel`` Lightning .ckpt -> {sampler, dac, encoder}
     param subtrees (frozen submodules were serialized inside the ckpt —
     the reference's FIXME at ``vaura_model.py:61`` works in our favor
-    here)."""
+    here). Layer/codebook/depth counts default to what the state dict
+    itself encodes."""
     import torch
 
     ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
@@ -373,15 +408,19 @@ def convert_vaura_checkpoint(
     out: Dict[str, Any] = {}
     sampler_sd = sub("sampler.")
     if sampler_sd:
+        dims = infer_sampler_dims(sampler_sd)
         out["sampler"] = convert_sampler_state_dict(
-            sampler_sd, num_layers=num_layers, num_codebooks=num_codebooks
+            sampler_sd,
+            num_layers=num_layers or dims["num_layers"],
+            num_codebooks=num_codebooks or dims["num_codebooks"],
         )
+        num_codebooks = num_codebooks or dims["num_codebooks"]
     dac_sd = sub("audio_encoder.model.")
     if dac_sd:
         out["dac"] = convert_dac_state_dict(dac_sd, n_codebooks=num_codebooks)
     enc_sd = sub("visual_feature_extractor.")
     if enc_sd:
         out["encoder"] = convert_motionformer_state_dict(
-            enc_sd, depth=encoder_depth
+            enc_sd, depth=encoder_depth or _max_index(enc_sd, "blocks.")
         )
     return out

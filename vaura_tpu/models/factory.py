@@ -52,6 +52,14 @@ def build_system(
     assert isinstance(dac_config, DacConfig), type(dac_config)
     if dtype is not None:
         dac_config = dataclasses.replace(dac_config, dtype=dtype)
+    # The reference Transformer derives its factored-embedding entry dim
+    # from the frozen codec at initialize_embeddings time (llama.py:387-412)
+    # — sampler configs (and Lightning hparams) never carry codebook_dim,
+    # so sync it from the codec spec here.
+    if sampler_spec.codebook_dim != dac_config.codebook_dim:
+        sampler_spec = dataclasses.replace(
+            sampler_spec, codebook_dim=dac_config.codebook_dim
+        )
 
     encoder_config: Optional[MotionFormerConfig] = None
     if use_vis and model_cfg.get("feature_extractor_config") is not None:

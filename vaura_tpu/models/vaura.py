@@ -121,7 +121,7 @@ class VauraSystem:
         batch: int = 1,
         audio_len: int = 22016,
         n_segments: int = 4,
-        frames_per_segment: int = 16,
+        frames_per_segment: Optional[int] = None,
         frame_hw: int = 224,
     ) -> Dict[str, Any]:
         """Initialize all parameter subtrees with tiny tracing shapes."""
@@ -130,6 +130,12 @@ class VauraSystem:
         wav = jnp.zeros((1, 1, self.dac_config.hop_length * 4))
         params["dac"] = self.dac.init(r_dac, wav)["params"]
         if self.encoder is not None:
+            if frames_per_segment is None:
+                # segment length from the encoder geometry (flagship 8*2=16)
+                frames_per_segment = (
+                    self.encoder_config.temporal_resolution
+                    * self.encoder_config.z_block_size
+                )
             frames = jnp.zeros(
                 (1, 1, 3, frames_per_segment, frame_hw, frame_hw), jnp.float32
             )

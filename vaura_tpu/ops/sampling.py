@@ -38,6 +38,7 @@ def sample_top_k(rng: jax.Array, logits: jax.Array, k: int) -> jax.Array:
     outside the top-k (ties included via >= threshold) is zeroed, the rest is
     renormalized — equivalently the non-top-k logits are masked to -inf.
     """
+    k = min(int(k), logits.shape[-1])  # k >= vocab keeps everything
     top_vals, _ = jax.lax.top_k(logits, k)
     threshold = top_vals[..., -1:]
     masked = jnp.where(logits >= threshold, logits, NEG_INF)

@@ -67,3 +67,17 @@ def fetch_demo_checkpoints(cache_dir: str | Path = "./checkpoints") -> dict:
             "--ckpt to demo.py."
         ) from e
     return out
+
+
+def load_demo_model(cache_dir: str | Path = "./checkpoints"):
+    """Download (or reuse) the released checkpoints and hand off to the
+    reference-experiment loader: returns ``(model_cfg, params_tree,
+    ckpt_path)`` ready for ``build_system`` (the reference's
+    ``resolve_ckpt_demo`` + ``load_from_checkpoint`` flow,
+    ``demo_utils.py:56-102``, in one call). Works identically on a
+    manually downloaded + extracted tree."""
+    from vaura_tpu.utils.reference_ckpt import load_reference_experiment
+
+    ckpts = fetch_demo_checkpoints(cache_dir)
+    assert ckpts.get("vaura_ckpt"), "no .ckpt found in the downloaded tar"
+    return load_reference_experiment(ckpts["vaura_ckpt"])
