@@ -53,6 +53,28 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", str(platform))
 
+    # multi-host bootstrap (the reference reads torchrun/SLURM env at
+    # main.py:37-45 and defers to Lightning/NCCL). Must run before any
+    # backend-initializing jax call; no-ops single-process. Knobs:
+    # trainer.coordinator_address / num_processes / process_id, else
+    # SLURM/TPU-pod auto-detection.
+    tr = cfg.get("trainer") or {}
+    if tr.get("coordinator_address") or tr.get("num_processes"):
+        from vaura_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=tr.get("coordinator_address"),
+            num_processes=tr.get("num_processes"),
+            process_id=tr.get("process_id"),
+        )
+    else:
+        import os as _os
+
+        if int(_os.environ.get("SLURM_NTASKS", _os.environ.get("WORLD_SIZE", 1))) > 1:
+            from vaura_tpu.parallel.multihost import initialize_distributed
+
+            initialize_distributed()
+
     if action == "train":
         from scripts.train import train
 

@@ -26,9 +26,14 @@ def initialize_distributed(
     process_id: Optional[int] = None,
 ) -> None:
     """Initialize multi-host JAX. No-ops when single-process. Arguments
-    default to auto-detection (TPU pod metadata or SLURM env)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    default to auto-detection (TPU pod metadata or SLURM env).
+
+    Must run before ANY backend-initializing call — even
+    ``jax.process_count()``/``jax.devices()`` would lock in a
+    single-process backend, so the already-initialized check goes through
+    ``jax.distributed.is_initialized`` only."""
+    if jax.distributed.is_initialized():
+        return
     env_world = int(os.environ.get("SLURM_NTASKS", os.environ.get("WORLD_SIZE", 1)))
     if coordinator_address is None and env_world <= 1 and num_processes is None:
         logger.info("single-process run; skipping jax.distributed.initialize")

@@ -179,12 +179,23 @@ class Trainer:
                 epoch_losses = []
                 t_epoch = time.time()
                 cached_batches = []
+                # double-buffer H2D: device_put for batch N+1 is issued
+                # (async) before step N's compute is consumed, so the
+                # transfer rides under the previous step
+                # (prefetch_batches=0 disables; default 2)
+                n_prefetch = int(self.cfg.get("prefetch_batches", 2) or 0)
                 it = iter(train_loader)
+                if n_prefetch > 1:
+                    from vaura_tpu.train.steps import prefetch_to_device
+
+                    it = prefetch_to_device(
+                        it, size=n_prefetch, sharding=self.batch_sharding
+                    )
                 for bi in range(n_batches):
                     if overfit and bi < len(cached_batches):
                         batch = cached_batches[bi]
                     else:
-                        batch = self._put(next(it))
+                        batch = next(it) if n_prefetch > 1 else self._put(next(it))
                         if overfit:
                             cached_batches.append(batch)
                     if profiler == "jax" and epoch == 0 and bi == 3:
