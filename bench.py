@@ -50,8 +50,23 @@ def main() -> None:
     ap.add_argument("--no-int8", dest="int8", action="store_false")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument(
-        "--mode", choices=["generate", "train"], default="generate",
-        help="train: flagship train-step throughput instead of generation",
+        "--mode", choices=["generate", "train", "encoder", "long"],
+        default="generate",
+        help="train: flagship train-step throughput; encoder: "
+             "MotionFormer feature-extraction sweep (ms per 2.56 s clip); "
+             "long: 10.24 s chunked generation with prompt carry "
+             "(reference generate_vgg_sparse.yaml striding)",
+    )
+    ap.add_argument("--duration", type=float, default=10.24,
+                    help="long mode: total seconds per sample")
+    ap.add_argument("--stride", type=float, default=0.64,
+                    help="long mode: chunk stride seconds (sparse config)")
+    ap.add_argument(
+        "--with-encoder", action="store_true",
+        help="generate mode: true frames->waveform pipeline — the "
+             "MotionFormer visual encoder runs inside the timed graph "
+             "(225 MB of bf16 frames per 32-clip batch; default --batch "
+             "drops to 32 where the whole pipeline fits)",
     )
     ap.add_argument(
         "--precomputed-codes", action="store_true",
@@ -63,22 +78,34 @@ def main() -> None:
 
     if args.mode == "train":
         return bench_train(args)
+    if args.mode == "encoder":
+        return bench_encoder(args)
+    if args.mode == "long":
+        return bench_long(args)
 
     from vaura_tpu.models.dac.model import config_for_sample_rate
+    from vaura_tpu.models.motionformer import MotionFormerConfig
     from vaura_tpu.models.sampler import SamplerConfig
     from vaura_tpu.models.vaura import VauraSystem
 
     import dataclasses
+    import sys as _sys
+
+    if args.with_encoder and "--batch" not in " ".join(_sys.argv):
+        args.batch = 32  # frames + ViT activations fit beside the cache
 
     sampler_cfg = SamplerConfig()  # flagship config
     dac_cfg = dataclasses.replace(
         config_for_sample_rate(44100), dtype=jnp.bfloat16
     )
+    enc_cfg = (
+        MotionFormerConfig(dtype=jnp.bfloat16) if args.with_encoder else None
+    )
     system = VauraSystem(
         sampler_config=sampler_cfg,
         dac_config=dac_cfg,
-        encoder_config=None,
-        use_visual_conditioning=False,
+        encoder_config=enc_cfg,
+        use_visual_conditioning=bool(args.with_encoder),
     )
 
     rng = jax.random.PRNGKey(0)
@@ -96,6 +123,17 @@ def main() -> None:
         )["params"]
     )(r_sam)
     params = {"sampler": sam_params, "dac": dac_params}
+    frames = None
+    if args.with_encoder:
+        # 2.56 s at the media contract: 4 segments x 16 frames @ 224^2
+        params["encoder"] = jax.jit(
+            lambda r: system.encoder.init(
+                r, jnp.zeros((1, 1, 3, 16, 224, 224))
+            )["params"]
+        )(jax.random.PRNGKey(7))
+        frames = jax.random.normal(
+            jax.random.PRNGKey(8), (B, 4, 3, 16, 224, 224), jnp.bfloat16
+        )
 
     vis_feats = jax.random.normal(
         jax.random.PRNGKey(1), (B, Tv, sampler_cfg.cond_in_dim), jnp.float32
@@ -105,7 +143,11 @@ def main() -> None:
     use_cfg = args.cfg_scale > 1.0
 
     @jax.jit
-    def generate(params, vis_feats, rng):
+    def generate(params, vis_feats, rng, frames=None):
+        if frames is not None:
+            # true pipeline: the visual encoder runs inside the timed
+            # graph (reference generate.py:279-285 pays this per sample)
+            vis_feats = system.visual_features(params, frames)
         cond_seq = system.build_cond_seq_for_generation(
             params, vis_feats, S, tokens_per_frame=7, cfg=use_cfg
         )
@@ -157,42 +199,187 @@ def main() -> None:
         system = _VS(
             sampler_config=sampler_cfg,
             dac_config=dac_cfg,
-            encoder_config=None,
-            use_visual_conditioning=False,
+            encoder_config=enc_cfg,
+            use_visual_conditioning=bool(args.with_encoder),
         )
-        params = {
+        q_params = {
             "sampler": cast_floats(
                 quantize_sampler_params(jax.device_get(sam_params)),
                 jnp.bfloat16,
             ),
             "dac": params["dac"],
         }
+        if "encoder" in params:
+            q_params["encoder"] = params["encoder"]
+        params = q_params
 
     # warmup / compile (np.asarray forces a host sync — block_until_ready
     # can return early under remote-execution PJRT relays)
-    out = generate(params, vis_feats, jax.random.PRNGKey(2))
+    out = generate(params, vis_feats, jax.random.PRNGKey(2), frames)
     np.asarray(jax.tree.leaves(out)[0])
 
     times = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        out = generate(params, vis_feats, jax.random.PRNGKey(3 + i))
+        out = generate(params, vis_feats, jax.random.PRNGKey(3 + i), frames)
         np.asarray(jax.tree.leaves(out)[0])
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
 
     audio_seconds = B * args.tokens / TOKENS_PER_SECOND
     value = audio_seconds / elapsed
+    metric = (
+        "frames_to_audio_sec_per_sec_per_chip"
+        if args.with_encoder else "audio_sec_per_sec_per_chip"
+    )
     print(
         json.dumps(
             {
-                "metric": "audio_sec_per_sec_per_chip",
+                "metric": metric,
                 "value": round(value, 3),
                 "unit": "audio_sec/sec/chip",
                 "vs_baseline": round(value / 5.0, 3),
             }
         )
     )
+
+
+def bench_encoder(args) -> None:
+    """MotionFormer feature extraction on its own: ms per 2.56 s clip
+    (4 segments x 16 frames @ 224^2, divided space-time ViT-B/16 + spatial
+    CLS agg — reference motionformer.py:252-342) over a batch sweep."""
+    from vaura_tpu.models.motionformer import MotionFormer, MotionFormerConfig
+
+    cfg = MotionFormerConfig(dtype=jnp.bfloat16)
+    model = MotionFormer(cfg)
+    params = jax.jit(
+        lambda r: model.init(r, jnp.zeros((1, 1, 3, 16, 224, 224)))["params"]
+    )(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def feats(params, frames):
+        out, _ = model.apply({"params": params}, frames, False)
+        return jnp.sum(jnp.abs(out.astype(jnp.float32)))
+
+    results = {}
+    for B in (1, 8, 16, 32):
+        frames = jax.random.normal(
+            jax.random.PRNGKey(1), (B, 4, 3, 16, 224, 224), jnp.bfloat16
+        )
+        np.asarray(feats(params, frames))  # compile + warm
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            np.asarray(feats(params, frames))
+            times.append(time.perf_counter() - t0)
+        ms_per_clip = min(times) / B * 1e3
+        results[B] = round(ms_per_clip, 2)
+        print(f"# encoder B={B}: {ms_per_clip:.2f} ms/clip "
+              f"({min(times)*1e3:.1f} ms/batch)")
+    best = min(results.values())
+    print(json.dumps({
+        "metric": "encoder_ms_per_clip",
+        "value": best,
+        "unit": "ms/clip",
+        "vs_baseline": round((SECONDS_PER_CLIP * 1e3) / best, 2),
+        "sweep": results,
+    }))
+
+
+def bench_long(args) -> None:
+    """Long-horizon chunked generation (reference
+    ``scripts/generate.py:327-370`` striding; generate_vgg_sparse.yaml:
+    10.24 s, stride 0.64 s): first chunk generates the full 2.56 s
+    window, later chunks carry the last (window - stride) tokens as an
+    audio prompt and generate ``stride`` new tokens. Reports au-s/s and
+    per-batch p50 wall time."""
+    import dataclasses
+
+    from vaura_tpu.models.dac.model import config_for_sample_rate
+    from vaura_tpu.models.sampler import SamplerConfig
+    from vaura_tpu.models.vaura import VauraSystem
+    from vaura_tpu.ops.quantization import quantize_sampler_params
+    from vaura_tpu.utils import cast_floats
+
+    B = args.batch
+    sampler_cfg = SamplerConfig()
+    if args.int8:
+        sampler_cfg = dataclasses.replace(
+            sampler_cfg, quantize_weights=True, quantize_cache=True
+        )
+    dac_cfg = dataclasses.replace(
+        config_for_sample_rate(44100), dtype=jnp.bfloat16
+    )
+    system = VauraSystem(
+        sampler_config=sampler_cfg,
+        dac_config=dac_cfg,
+        encoder_config=None,
+        use_visual_conditioning=False,
+    )
+    rng = jax.random.PRNGKey(0)
+    base_cfg = dataclasses.replace(
+        sampler_cfg, quantize_weights=False, quantize_cache=False
+    )
+    base_sys = VauraSystem(
+        sampler_config=base_cfg, dac_config=dac_cfg, encoder_config=None,
+        use_visual_conditioning=False,
+    )
+    tokens0 = jnp.zeros((1, sampler_cfg.num_codebooks, 16), jnp.int32)
+    cond0 = jnp.zeros((1, 8, sampler_cfg.cond_in_dim))
+    sam = jax.jit(
+        lambda r: base_sys.sampler.init(
+            {"params": r, "dropout": r, "cfg_dropout": r}, tokens0, cond0,
+            False,
+        )["params"]
+    )(rng)
+    dac = jax.jit(
+        lambda r: system.dac.init(r, jnp.zeros((1, 1, 2048)))["params"]
+    )(rng)
+    sam = cast_floats(jax.device_get(sam), jnp.bfloat16)
+    if args.int8:
+        sam = cast_floats(quantize_sampler_params(sam), jnp.bfloat16)
+    params = {"sampler": sam, "dac": dac}
+
+    total_tokens = int(args.duration * TOKENS_PER_SECOND)
+    stride_tokens = int(args.stride * TOKENS_PER_SECOND)
+    n_seg = int(np.ceil(args.duration / 0.64))
+    feats = jax.random.normal(
+        jax.random.PRNGKey(1), (B, n_seg, 8, sampler_cfg.cond_in_dim),
+        jnp.float32,
+    )
+
+    def run(rng):
+        out = system.generate_long(
+            params, None, rng,
+            total_tokens=total_tokens,
+            stride_tokens=stride_tokens,
+            vis_feats_segments=feats,
+            decode_to_audio=True,
+            temp=1.0, top_k=args.top_k, cfg_scale=args.cfg_scale,
+        )
+        return np.asarray(
+            jax.device_get(jnp.sum(jnp.abs(out["audio"])))
+        )
+
+    run(jax.random.PRNGKey(2))  # compile (first + steady chunk graphs)
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(3 + i))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    value = B * args.duration / min(times)
+    print(json.dumps({
+        "metric": "long_audio_sec_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(value / 5.0, 3),
+        "duration_s": args.duration,
+        "stride_s": args.stride,
+        "batch": B,
+        "p50_batch_seconds": round(p50, 3),
+        "p50_latency_per_clip_s": round(p50, 3),
+    }))
 
 
 def bench_train(args) -> None:

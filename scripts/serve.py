@@ -120,6 +120,7 @@ class GenerationService:
 
             from vaura_tpu.ops.quantization import quantize_sampler_params
 
+            fp_sampler = params["sampler"]
             params = dict(params)
             params["sampler"] = quantize_sampler_params(
                 jax.device_get(params["sampler"])
@@ -129,6 +130,23 @@ class GenerationService:
                 quantize_weights=True, quantize_cache=True,
             )
             self.system.__post_init__()
+            # quality gate: int8 must reproduce the bf16 argmax at the
+            # loaded weights' own margins before it is allowed to serve
+            # (measured at trained margins in PERFORMANCE.md "int8
+            # quantization error"; random weights fail this by design)
+            min_agree = float(cfg.get("quantize_min_agreement", 0.0) or 0.0)
+            agree = self._int8_agreement_probe(fp_sampler, params["sampler"])
+            msg = (
+                "int8 teacher-forced argmax agreement vs bf16: %.4f "
+                "(gate: %.2f)" % (agree, min_agree)
+            )
+            if agree < min_agree:
+                raise RuntimeError(
+                    msg + " — refusing to serve int8 at these weights; "
+                    "serve without quantize or lower "
+                    "quantize_min_agreement"
+                )
+            logger.info(msg)
         self.params = params
         self.cond_dim = self.system.sampler_config.cond_in_dim
         self.sample_rate = self.system.dac_config.sample_rate
@@ -138,6 +156,55 @@ class GenerationService:
         self._worker = threading.Thread(target=self._loop, daemon=True)
 
     # ------------------------------------------------------------------ #
+    def _int8_agreement_probe(
+        self, fp_sampler, q_sampler, batch: int = 2, tokens: int = 32
+    ) -> float:
+        """Teacher-forced argmax agreement between the bf16 and int8
+        sampler at the loaded weights, on a fixed synthetic probe batch.
+        Cheap (two short forwards) and run once at startup."""
+        import dataclasses as _dc
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vaura_tpu.models.vaura import VauraSystem
+
+        cfg_q = self.system.sampler_config
+        cfg_f = _dc.replace(
+            cfg_q, quantize_weights=False, quantize_cache=False
+        )
+        rng = np.random.default_rng(0)
+        codes = jnp.asarray(
+            rng.integers(0, cfg_q.d_codebook, size=(batch, cfg_q.num_codebooks, tokens))
+        )
+        vis = jnp.asarray(
+            rng.standard_normal((batch, 8, cfg_q.cond_in_dim)).astype(np.float32)
+        )
+
+        def logits_for(cfg, sampler_params):
+            sys_ = VauraSystem(
+                sampler_config=cfg,
+                dac_config=self.system.dac_config,
+                encoder_config=None,
+                use_visual_conditioning=True,
+            )
+            _, aux = jax.jit(
+                lambda p: sys_.train_forward(
+                    p, None, None, jax.random.PRNGKey(0), train=False,
+                    vis_feats=vis, codes=codes,
+                )
+            )({"sampler": sampler_params})
+            return np.asarray(aux["logits"], np.float32), np.asarray(
+                aux["mask"], bool
+            )
+
+        lf, mask = logits_for(cfg_f, fp_sampler)
+        lq, _ = logits_for(cfg_q, q_sampler)
+        return float(
+            (lf.argmax(-1)[mask] == lq.argmax(-1)[mask]).mean()
+        )
+
     def start(self):
         self._warmup()
         self._worker.start()

@@ -85,6 +85,30 @@ def test_input_validation(server):
     assert str(service.cond_dim) in e.value.read().decode()
 
 
+def test_quantize_gate(tmp_path):
+    """serve quantize=true runs the int8-vs-bf16 agreement probe at
+    startup and refuses when below quantize_min_agreement."""
+    from scripts.serve import GenerationService
+    from vaura_tpu.config import assemble_config
+
+    cfg = dict(
+        assemble_config(
+            [f"config={REPO / 'configs/experiments/dummy.yaml'}"],
+            defaults_path=REPO / "configs" / "vaura_defaults.yaml",
+            base_dir=REPO,
+        )
+    )
+    cfg.update(batch=1, duration=0.15, quantize=True)
+    # an impossible gate must refuse to serve
+    cfg["quantize_min_agreement"] = 1.1
+    with pytest.raises(RuntimeError, match="argmax agreement"):
+        GenerationService(cfg)
+    # gate off: service constructs and records the probe in the log
+    cfg["quantize_min_agreement"] = 0.0
+    svc = GenerationService(cfg)
+    assert svc.system.sampler_config.quantize_weights
+
+
 def test_fixed_conditioning_length(server):
     """The server pads every request to one fixed Tv (single compiled
     graph) and rejects longer feature sequences instead of recompiling
