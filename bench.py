@@ -61,6 +61,11 @@ def main() -> None:
                     help="long mode: total seconds per sample")
     ap.add_argument("--stride", type=float, default=0.64,
                     help="long mode: chunk stride seconds (sparse config)")
+    ap.add_argument("--layers", type=int, default=None,
+                    help="override decoder layer count (AR cost "
+                         "decomposition: time(L) = fixed + L * per_layer)")
+    ap.add_argument("--greedy", action="store_true",
+                    help="argmax sampling (isolates top-k cost)")
     ap.add_argument(
         "--with-encoder", action="store_true",
         help="generate mode: true frames->waveform pipeline — the "
@@ -95,6 +100,8 @@ def main() -> None:
         args.batch = 32  # frames + ViT activations fit beside the cache
 
     sampler_cfg = SamplerConfig()  # flagship config
+    if args.layers:
+        sampler_cfg = dataclasses.replace(sampler_cfg, num_layers=args.layers)
     dac_cfg = dataclasses.replace(
         config_for_sample_rate(44100), dtype=jnp.bfloat16
     )
@@ -164,6 +171,7 @@ def main() -> None:
             rng,
             S=S,
             valid_mask=valid_mask,
+            use_sampling=not args.greedy,
             temp=1.0,
             top_k=args.top_k,
             cfg_scale=args.cfg_scale,
@@ -355,6 +363,10 @@ def bench_long(args) -> None:
             stride_tokens=stride_tokens,
             vis_feats_segments=feats,
             decode_to_audio=True,
+            # 4x-longer waveforms: DAC activation temps OOM at full batch
+            # (measured B=32 x 10.24 s); decode in lax.map slices sized so
+            # each slice carries ~the 2.56 s x 8-clip footprint
+            dac_chunk_size=max(1, int(8 * 2.56 / args.duration * 4)),
             temp=1.0, top_k=args.top_k, cfg_scale=args.cfg_scale,
         )
         return np.asarray(

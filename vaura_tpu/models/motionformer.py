@@ -147,43 +147,69 @@ class DividedAttention(nn.Module):
             3 * D, use_bias=cfg.qkv_bias, kernel_init=_trunc_normal(),
             dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="qkv",
         )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        reshape = lambda t: t.reshape(B, N, H, hd).transpose(0, 2, 1, 3)  # [B,H,N,hd]
-        q, k, v = reshape(q), reshape(k), reshape(v)
+        # TPU note: everything below is einsum-indexed on the natural
+        # [B, f, n, H, hd] layout — no explicit 5-D regroup/ungroup
+        # transposes (the r2 formulation materialized ~6 full-activation
+        # relayouts per attention; at 308 MB of bf16 tokens per 32-clip
+        # batch those HBM round-trips, not FLOPs, dominated the encoder).
+        qkv = qkv.reshape(B, N, 3, H, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
         q = q * (hd**-0.5)
 
-        cls_q = q[:, :, :1]
-        cls_out = _masked_softmax_attn(cls_q, k, v)  # [B, H, 1, hd]
+        # CLS query attends over every token (reference vit_helper.py:93-108)
+        cls_q = q[:, 0]  # [B, H, hd]
+        cls_scores = jnp.einsum(
+            "bhd,bnhd->bhn", cls_q, k, preferred_element_type=jnp.float32
+        )
+        cls_p = jax.nn.softmax(cls_scores, axis=-1).astype(v.dtype)
+        cls_out = jnp.einsum("bhn,bnhd->bhd", cls_p, v)  # [B, H, hd]
 
-        q_, k_, v_ = q[:, :, 1:], k[:, :, 1:], v[:, :, 1:]
-        # group axis: time => groups of n spatial locations attending over f
-        # frames; space => groups of f frames attending over n locations
+        qf = q[:, 1:].reshape(B, f, n, H, hd)
+        kf = k[:, 1:].reshape(B, f, n, H, hd)
+        vf = v[:, 1:].reshape(B, f, n, H, hd)
+        cls_k, cls_v = k[:, 0], v[:, 0]  # [B, H, hd]
+
         if axis == "time":
-            regroup = lambda t: t.reshape(B, H, f, n, hd).transpose(0, 3, 1, 2, 4)
-            ungroup = lambda t: t.transpose(0, 2, 3, 1, 4).reshape(B, H, f * n, hd)
-            G, L = n, f
+            # each (spatial location n) attends over the f frames + CLS
+            scores = jnp.einsum(
+                "bfnhd,bgnhd->bnhfg", qf, kf,
+                preferred_element_type=jnp.float32,
+            )  # [B, n, H, f, f]
+            sc_cls = jnp.einsum(
+                "bfnhd,bhd->bnhf", qf, cls_k,
+                preferred_element_type=jnp.float32,
+            )[..., None]  # [B, n, H, f, 1]
+            full = jnp.concatenate([sc_cls, scores], axis=-1)
+            p = jax.nn.softmax(full, axis=-1)
+            p_cls, p_tok = p[..., :1], p[..., 1:].astype(vf.dtype)
+            out = jnp.einsum("bnhfg,bgnhd->bfnhd", p_tok, vf)
+            out = out + jnp.einsum(
+                "bnhf,bhd->bfnhd", p_cls[..., 0].astype(cls_v.dtype), cls_v
+            )
         elif axis == "space":
-            regroup = lambda t: t.reshape(B, H, f, n, hd).transpose(0, 2, 1, 3, 4)
-            ungroup = lambda t: t.transpose(0, 2, 1, 3, 4).reshape(B, H, f * n, hd)
-            G, L = f, n
+            # each (frame f) attends over its n spatial locations + CLS
+            scores = jnp.einsum(
+                "bfnhd,bfmhd->bfhnm", qf, kf,
+                preferred_element_type=jnp.float32,
+            )  # [B, f, H, n, n]
+            sc_cls = jnp.einsum(
+                "bfnhd,bhd->bfhn", qf, cls_k,
+                preferred_element_type=jnp.float32,
+            )[..., None]
+            full = jnp.concatenate([sc_cls, scores], axis=-1)
+            p = jax.nn.softmax(full, axis=-1)
+            p_cls, p_tok = p[..., :1], p[..., 1:].astype(vf.dtype)
+            out = jnp.einsum("bfhnm,bfmhd->bfnhd", p_tok, vf)
+            out = out + jnp.einsum(
+                "bfhn,bhd->bfnhd", p_cls[..., 0].astype(cls_v.dtype), cls_v
+            )
         else:
             raise ValueError(axis)
-        qg = regroup(q_).reshape(B * G, H, L, hd)
-        kg = regroup(k_).reshape(B * G, H, L, hd)
-        vg = regroup(v_).reshape(B * G, H, L, hd)
-        # append CLS k/v to every group
-        cls_k = jnp.repeat(k[:, :, :1], G, axis=0).reshape(B * G, H, 1, hd)
-        cls_v = jnp.repeat(v[:, :, :1], G, axis=0).reshape(B * G, H, 1, hd)
-        kg = jnp.concatenate([cls_k, kg], axis=2)
-        vg = jnp.concatenate([cls_v, vg], axis=2)
-        out = _masked_softmax_attn(qg, kg, vg)  # [B*G, H, L, hd]
-        if axis == "time":
-            out = out.reshape(B, n, H, f, hd).transpose(0, 2, 3, 1, 4)
-        else:
-            out = out.reshape(B, f, H, n, hd).transpose(0, 2, 1, 3, 4)
-        out = out.reshape(B, H, f * n, hd)
-        out = jnp.concatenate([cls_out.astype(out.dtype), out], axis=2)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+
+        out = out.reshape(B, f * n, D)
+        out = jnp.concatenate(
+            [cls_out.reshape(B, 1, D).astype(out.dtype), out], axis=1
+        )
         return nn.Dense(
             D, kernel_init=_trunc_normal(), dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, name="proj",

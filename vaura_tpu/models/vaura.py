@@ -712,18 +712,38 @@ class VauraSystem:
                 B, len(positions) * t_seg, D
             )
             rng, chunk_rng = jax.random.split(rng)
-            out = self.generate(
-                params,
-                None,
-                chunk_rng,
-                vis_feats=sel,
-                audio_prompt_codes=prompt,
-                max_new_tokens=chunk_duration_tokens,
-                tokens_per_frame=tokens_per_frame,
-                decode_to_audio=False,
-                **sampling,
+            # chunk calls re-trace the full decode scan unless jitted and
+            # cached: steady-state chunks share shapes, so the whole loop
+            # compiles exactly two graphs (first chunk, carry chunk) and
+            # later calls/batches hit this cache (keyed per shape tuple)
+            cache = getattr(self, "_chunk_jit_cache", None)
+            if cache is None:
+                cache = {}
+                object.__setattr__(self, "_chunk_jit_cache", cache)
+            key = (
+                sel.shape,
+                None if prompt is None else prompt.shape,
+                chunk_duration_tokens,
+                tokens_per_frame,
+                tuple(sorted(sampling.items())),
             )
-            gen_tokens = out["codes"]
+            if key not in cache:
+                has_prompt = prompt is not None
+
+                def _chunk(params, sel, prompt, rng,
+                           _n=chunk_duration_tokens, _hp=has_prompt):
+                    return self.generate(
+                        params, None, rng,
+                        vis_feats=sel,
+                        audio_prompt_codes=prompt if _hp else None,
+                        max_new_tokens=_n,
+                        tokens_per_frame=tokens_per_frame,
+                        decode_to_audio=False,
+                        **sampling,
+                    )["codes"]
+
+                cache[key] = jax.jit(_chunk)
+            gen_tokens = cache[key](params, sel, prompt, chunk_rng)
             if prompt is None:
                 all_tokens.append(gen_tokens)
             else:
