@@ -275,3 +275,88 @@ def test_greedy_generation_with_prompt_parity_vs_reference(
     )
     np.testing.assert_array_equal(prompt, np.asarray(out["codes"])[..., :T0])
     np.testing.assert_array_equal(ref_codes, np.asarray(out["codes"]))
+
+
+def test_chunked_striding_parity_vs_reference(ref_transformer, our_system):
+    """Long-horizon chunked generation with prompt carry-over: the
+    reference's script-level striding loop (scripts/generate.py:327-370 —
+    per chunk: slide the segment window by ceil(time_offset*vfps)//fps
+    with modulo wrap, generate max_gen_len with the carried prompt, keep
+    tokens[stride:] as the next prompt) re-implemented verbatim around the
+    REAL reference ``generate``, vs our ``generate_long`` — token for
+    token (greedy, cfg 1.0: the fixed 32-row uncond buffer pins CFG runs
+    to Tv=32; CFG parity itself is covered by the single-chunk tests)."""
+    import math
+
+    system, params = our_system
+    dummy = _ref_vaura_dummy(ref_transformer)
+    ref_transformer.audio_tokens_per_video_frame = 5
+
+    FRAME_RATE = 86  # codec tokens/s (reference generate.py:30)
+    VFPS = 25.0
+    FPS_SEG = 2  # frames per segment (scaled-down avclip window)
+    T_SEG = 4  # features per segment
+    total_tokens, model_max_tokens, stride_tokens = 44, 20, 8
+    B, S_total = 2, 4
+
+    rng = np.random.default_rng(17)
+    feats_segments = rng.normal(size=(B, S_total, T_SEG, 768)).astype(
+        np.float32
+    )
+
+    # ---- reference loop (generate.py:328-370), real `generate` ---- #
+    frames_t = torch.from_numpy(feats_segments)
+    current, prompt_len = 0, 0
+    all_tokens, prompt_tokens = [], None
+    with torch.no_grad():
+        while current + prompt_len < total_tokens:
+            time_offset = current / FRAME_RATE
+            chunk_duration_tokens = min(
+                total_tokens - current, model_max_tokens
+            )
+            chunk_duration = chunk_duration_tokens / FRAME_RATE
+            initial_position = math.ceil(time_offset * VFPS)
+            video_target_length = math.ceil(chunk_duration * VFPS)
+            lo = initial_position // FPS_SEG
+            hi = (initial_position + video_target_length) // FPS_SEG
+            positions = torch.arange(lo, max(hi, lo + 1))
+            sel = frames_t[:, positions % S_total]
+            out = dummy.generate(
+                frames=sel,
+                audio=prompt_tokens,
+                max_new_tokens=chunk_duration_tokens,
+                use_sampling=False,
+                cfg_scale=1.0,
+                return_sampled_indices=True,
+                prompt_is_encoded=True,
+                remove_prompts=False,
+                check=True,
+            )
+            gen_tokens = out["sampled_indices"]
+            if prompt_tokens is None:
+                all_tokens.append(gen_tokens)
+            else:
+                all_tokens.append(gen_tokens[:, :, prompt_tokens.shape[-1]:])
+            prompt_tokens = gen_tokens[:, :, stride_tokens:]
+            prompt_len = prompt_tokens.shape[-1]
+            current += stride_tokens
+    ref_codes = torch.cat(all_tokens, dim=-1)[..., :total_tokens].numpy()
+
+    # ---- ours: generate_long over cached per-segment features -------- #
+    out = system.generate_long(
+        params,
+        None,
+        jax.random.PRNGKey(3),
+        total_tokens=total_tokens,
+        stride_tokens=stride_tokens,
+        model_max_tokens=model_max_tokens,
+        vfps=VFPS,
+        frames_per_segment=FPS_SEG,
+        tokens_per_frame=5,
+        vis_feats_segments=jnp.asarray(feats_segments),
+        decode_to_audio=False,
+        use_sampling=False,
+        cfg_scale=1.0,
+        check=True,
+    )
+    np.testing.assert_array_equal(ref_codes, np.asarray(out["codes"]))

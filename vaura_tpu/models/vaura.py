@@ -720,18 +720,21 @@ class VauraSystem:
             if cache is None:
                 cache = {}
                 object.__setattr__(self, "_chunk_jit_cache", cache)
+            chunk_sampling = dict(sampling)
+            check = bool(chunk_sampling.pop("check", False))
             key = (
                 sel.shape,
                 None if prompt is None else prompt.shape,
                 chunk_duration_tokens,
                 tokens_per_frame,
-                tuple(sorted(sampling.items())),
+                tuple(sorted(chunk_sampling.items())),
             )
             if key not in cache:
                 has_prompt = prompt is not None
 
                 def _chunk(params, sel, prompt, rng,
-                           _n=chunk_duration_tokens, _hp=has_prompt):
+                           _n=chunk_duration_tokens, _hp=has_prompt,
+                           _sampling=chunk_sampling):
                     return self.generate(
                         params, None, rng,
                         vis_feats=sel,
@@ -739,11 +742,18 @@ class VauraSystem:
                         max_new_tokens=_n,
                         tokens_per_frame=tokens_per_frame,
                         decode_to_audio=False,
-                        **sampling,
+                        **_sampling,
                     )["codes"]
 
                 cache[key] = jax.jit(_chunk)
             gen_tokens = cache[key](params, sel, prompt, chunk_rng)
+            if check:
+                c = np.asarray(gen_tokens)
+                assert (c >= 0).all() and (c <= self.special_token_id).all()
+                if prompt is not None:
+                    np.testing.assert_array_equal(
+                        c[..., : prompt.shape[-1]], np.asarray(prompt)
+                    )
             if prompt is None:
                 all_tokens.append(gen_tokens)
             else:
