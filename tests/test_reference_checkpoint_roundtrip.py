@@ -548,3 +548,40 @@ def test_demo_on_reference_experiment(ref_experiment, tmp_path):
     assert res.returncode == 0, (res.stderr[-3000:], res.stdout[-500:])
     wavs = list(out.glob("*.wav"))
     assert wavs, (res.stdout[-1000:], res.stderr[-1000:])
+
+
+def test_generate_action_from_reference_experiment(ref_experiment, tmp_path):
+    """The generate ACTION consumes the reference experiment directly via
+    the reference's own config key (``checkpoint_path``,
+    reference scripts/generate.py:43-52): hparams come from the tree's
+    own hparams.yaml, weights from the converted .ckpt, and the dummy
+    datamodule drives frames through the converted ViT encoder."""
+    from scripts.generate import generate
+
+    cfg = {
+        "action": "generate",
+        "checkpoint_path": str(ref_experiment["root"]),
+        "duration": 0.1,
+        "model_max_duration": 0.64,
+        "top_k": 8,
+        "cfg_scale": 1.0,
+        "use_sampling": True,
+        "temperature": 1.0,
+        "output_dir": str(tmp_path / "gen"),
+        "max_batches": 1,
+        "trainer": {"platform": "cpu"},
+        "dataloader": {
+            "dataset_type": "dummy",
+            "batch_size": 1,
+            "num_workers": 0,
+            "video_length": 0.16,  # 4 frames at 25 fps (1 tiny segment)
+            "frames_per_clip": TRES * Z,
+            "num_clips": 1,
+            "frame_shape": [CROP, CROP],
+        },
+        "dataset_to_use": "test",
+    }
+    result = generate(cfg)
+    assert result["num_generated"] >= 1
+    wavs = list((tmp_path / "gen").glob("*.wav"))
+    assert wavs, "no wav written from the reference checkpoint"
