@@ -66,6 +66,12 @@ def main() -> None:
                          "decomposition: time(L) = fixed + L * per_layer)")
     ap.add_argument("--greedy", action="store_true",
                     help="argmax sampling (isolates top-k cost)")
+    ap.add_argument("--decode-buckets", type=int, default=8,
+                    help="segmented decode (default on, bit-exact): each "
+                         "scan segment carries a KV-cache buffer physically "
+                         "sized to its maximum attended length, cutting "
+                         "early-step cache reads (AR-only B=128: 70.9 -> "
+                         "100.7 au-s/s; 1 disables)")
     ap.add_argument(
         "--with-encoder", action="store_true",
         help="generate mode: true frames->waveform pipeline — the "
@@ -175,6 +181,7 @@ def main() -> None:
             temp=1.0,
             top_k=args.top_k,
             cfg_scale=args.cfg_scale,
+            decode_buckets=args.decode_buckets,
         )
         codes, _, _ = pattern.revert_pattern_sequence(gen_seq, -1)
         codes = jnp.clip(codes[..., : args.tokens], 0, sampler_cfg.d_codebook - 1)

@@ -261,6 +261,51 @@ def test_prefill_prompt_path_matches_scan(system):
     np.testing.assert_array_equal(np.asarray(out_fast["codes"]), codes_ref)
 
 
+def test_decode_buckets_match_unbucketed(system):
+    """Segmented decode (each scan segment carries a physically
+    bucket-sized KV cache, grown between segments) must reproduce the
+    single-scan output token for token: padded cache positions get
+    probability exactly 0 under the masked softmax, so buffer length
+    cannot change the math, and the rng chain is bucket-independent."""
+    sys_, params = system
+    frames = _batch(B=2)["frames"]
+    kw = dict(max_new_tokens=40, use_sampling=True, temp=1.0, top_k=8,
+              cfg_scale=3.0, decode_to_audio=False)
+    out1 = sys_.generate(
+        params, frames, jax.random.PRNGKey(5), decode_buckets=1, **kw
+    )
+    out4 = sys_.generate(
+        params, frames, jax.random.PRNGKey(5), decode_buckets=4, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out1["codes"]), np.asarray(out4["codes"])
+    )
+
+
+def test_decode_buckets_with_prompt_prefill(system):
+    """Buckets + a long audio prompt: the prefill-produced full-length
+    cache is sliced down to the first executed segment's buffer and the
+    output still matches the unbucketed run."""
+    sys_, params = system
+    frames = _batch(B=1)["frames"]
+    prompt = jnp.asarray(
+        np.random.default_rng(13).integers(0, 16, size=(1, 3, 20)), jnp.int32
+    )
+    kw = dict(
+        audio_prompt_codes=prompt, max_new_tokens=40, use_sampling=False,
+        cfg_scale=2.0, decode_to_audio=False,
+    )
+    out1 = sys_.generate(
+        params, frames, jax.random.PRNGKey(0), decode_buckets=1, **kw
+    )
+    out3 = sys_.generate(
+        params, frames, jax.random.PRNGKey(0), decode_buckets=3, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out1["codes"]), np.asarray(out3["codes"])
+    )
+
+
 def test_generate_check_mode(system):
     sys_, params = system
     frames = _batch(B=1)["frames"]

@@ -45,6 +45,25 @@ from vaura_tpu.ops.sampling import cfg_blend, sample_tokens
 UNKNOWN_TOKEN = -1
 
 
+def _resize_cache(cache: Dict[str, jax.Array], new_len: int) -> Dict[str, jax.Array]:
+    """Pad (or slice) every KV-cache buffer to ``new_len`` positions on the
+    sequence axis (axis 2 of the ``[L, B, S, H, ...]`` layout). One explicit
+    whole-buffer copy, used *between* bucketed-decode scan segments so each
+    segment's ``lax.scan`` carries a buffer exactly as long as it can
+    attend to (in-scan slicing would break carry aliasing instead)."""
+
+    def rs(t: jax.Array) -> jax.Array:
+        cur = t.shape[2]
+        if new_len == cur:
+            return t
+        if new_len < cur:
+            return t[:, :, :new_len]
+        pad_shape = t.shape[:2] + (new_len - cur,) + t.shape[3:]
+        return jnp.concatenate([t, jnp.zeros(pad_shape, t.dtype)], axis=2)
+
+    return {k: rs(v) for k, v in cache.items()}
+
+
 @dataclasses.dataclass
 class VauraSystem:
     """Holds the module set and exposes pure functions over param pytrees.
@@ -466,12 +485,17 @@ class VauraSystem:
         """Run the generation scan; returns the completed ``[B, K, S]``
         sequence. ``start_step`` is static; steps scan from there to S.
 
-        ``decode_buckets`` splits the step range into segments with static
-        attended-key lengths (S/n, 2S/n, ..., S). Measured on v5e at
-        B=8/S=230 this LOSES ~12% (the sliced cache breaks XLA's in-place
-        scan-carry aliasing and is materialized per step), so the default
-        is 1; kept as an option for long-context settings where the
-        read savings dominate the copy.
+        ``decode_buckets`` splits the step range into segments whose KV
+        cache buffers are *physically* sized to the segment's maximum
+        attended length (S/n, 2S/n, ..., S): segment j's ``lax.scan``
+        carries a ``[L, B, hi_j, H, hd]`` cache, and the buffer is grown by
+        one explicit pad between segments. Early steps therefore stream
+        only the prefix of the cache they can actually attend to, cutting
+        the dominant HBM term (full-buffer reads) to ~58% at n=4 without
+        breaking XLA's in-place scan-carry aliasing. (The earlier
+        formulation that sliced a full-size carried buffer per step LOSES
+        ~12% — the slice materializes a copy each step; that is what the
+        dead-ends table records.)
         """
         B = gen_seq_init.shape[0]
         cache_batch = cond_seq.shape[0]
@@ -483,25 +507,27 @@ class VauraSystem:
             use_sampling=use_sampling, temp=temp, top_k=top_k, top_p=top_p,
             cfg_scale=cfg_scale,
         )
-        # bucket boundaries over [start_step, S), aligned to multiples of 8
+        # segment boundaries over [start_step, S), aligned to multiples of 8
         n_b = max(int(decode_buckets), 1)
         bounds = sorted(
             {min(-(-((i + 1) * S) // n_b // 8) * 8, S) for i in range(n_b)}
         )
         carry = (cache, gen_seq_init, cond_seq, rng)
         lo = start_step
+        step = self.build_generation_step(
+            S=S, valid_mask=valid_mask, **sampling_kwargs
+        )
+
+        def body(carry, s):
+            return step(params["sampler"], carry, s)
+
         for hi in bounds:
             if hi <= lo:
                 continue
-            # steps s in [lo, hi) attend to cache positions < s <= hi
-            step = self.build_generation_step(
-                S=S, valid_mask=valid_mask, key_len=min(hi, S),
-                **sampling_kwargs,
-            )
-
-            def body(carry, s, _step=step):
-                return _step(params["sampler"], carry, s)
-
+            # steps s in [lo, hi): write position s-1 < hi, attend < s <= hi
+            # -> a buffer of hi positions suffices for the whole segment
+            cache_seg, gen_seq_c, cond_seq_c, rng_c = carry
+            carry = (_resize_cache(cache_seg, hi), gen_seq_c, cond_seq_c, rng_c)
             steps = jnp.arange(lo, hi, dtype=jnp.int32)
             carry, _ = jax.lax.scan(body, carry, steps, unroll=step_unroll)
             lo = hi
@@ -554,6 +580,7 @@ class VauraSystem:
         vis_feats: Optional[jax.Array] = None,
         decode_to_audio: bool = True,
         dac_chunk_size: Optional[int] = None,
+        decode_buckets: int = 8,
         check: bool = False,
     ) -> Dict[str, jax.Array]:
         """Full generation pipeline (reference ``VAURAModel.generate``,
@@ -630,6 +657,7 @@ class VauraSystem:
             top_k=top_k,
             top_p=top_p,
             cfg_scale=cfg_scale,
+            decode_buckets=decode_buckets,
         )
 
         if check:
