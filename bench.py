@@ -66,12 +66,14 @@ def main() -> None:
                          "decomposition: time(L) = fixed + L * per_layer)")
     ap.add_argument("--greedy", action="store_true",
                     help="argmax sampling (isolates top-k cost)")
-    ap.add_argument("--decode-buckets", type=int, default=8,
+    ap.add_argument("--decode-buckets", type=int, default=None,
                     help="segmented decode (default on, bit-exact): each "
                          "scan segment carries a KV-cache buffer physically "
                          "sized to its maximum attended length, cutting "
                          "early-step cache reads (AR-only B=128: 70.9 -> "
-                         "100.7 au-s/s; 1 disables)")
+                         "100.7 au-s/s; 1 disables). Default 8; long mode "
+                         "defaults to 2 (the per-chunk prefill+scans XLA "
+                         "program fails remote compile at n>=4)")
     ap.add_argument(
         "--with-encoder", action="store_true",
         help="generate mode: true frames->waveform pipeline — the "
@@ -86,6 +88,8 @@ def main() -> None:
              "audio every step — measured 274 vs 200 ms/step at B=12",
     )
     args = ap.parse_args()
+    if args.decode_buckets is None:
+        args.decode_buckets = 2 if args.mode == "long" else 8
 
     if args.mode == "train":
         return bench_train(args)
@@ -375,6 +379,7 @@ def bench_long(args) -> None:
             # each slice carries ~the 2.56 s x 8-clip footprint
             dac_chunk_size=max(1, int(8 * 2.56 / args.duration * 4)),
             temp=1.0, top_k=args.top_k, cfg_scale=args.cfg_scale,
+            decode_buckets=args.decode_buckets,
         )
         return np.asarray(
             jax.device_get(jnp.sum(jnp.abs(out["audio"])))

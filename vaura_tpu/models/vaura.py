@@ -699,6 +699,7 @@ class VauraSystem:
         vis_feats_segments: Optional[jax.Array] = None,  # [B, S_total, t, D]
         decode_to_audio: bool = True,
         dac_chunk_size: Optional[int] = None,
+        decode_buckets: int = 2,
         **sampling,
     ) -> Dict[str, jax.Array]:
         """Chunked long-duration generation with prompt carry-over
@@ -710,6 +711,14 @@ class VauraSystem:
         TPU-first difference: the visual encoder runs ONCE over all
         segments; chunks re-index the cached per-segment features instead
         of re-running the ViT on overlapping windows.
+
+        ``decode_buckets`` defaults to 2 here (not ``generate``'s 8):
+        each chunk jits prefill + n segment scans as ONE XLA program and
+        the prompt-carry chunks skip every segment below the prompt
+        length anyway (prefill dominates), so high n buys ~2% while the
+        v5e remote compiler fails outright on the flagship chunk program
+        at n>=4 (measured: n=1 34.6, n=2 35.4 au-s/s at B=128/10.24 s;
+        n=4/8 fail to compile).
         """
         params = self._resolve_params(params)
         import math as _math
@@ -749,6 +758,7 @@ class VauraSystem:
                 cache = {}
                 object.__setattr__(self, "_chunk_jit_cache", cache)
             chunk_sampling = dict(sampling)
+            chunk_sampling["decode_buckets"] = decode_buckets
             check = bool(chunk_sampling.pop("check", False))
             key = (
                 sel.shape,
