@@ -167,14 +167,13 @@ def main() -> None:
     seg_for_chunk = max(int(np.ceil(args.duration / 0.64)), 1)
     rng, gen_rng = jax.random.split(rng)
     logger.info("single-chunk generation: %d tokens...", tokens)
-    out = system.generate(
-        params,
-        jnp.asarray(frames[:, :seg_for_chunk]),
-        gen_rng,
-        max_new_tokens=tokens,
-        tokens_per_frame=7,
-        **sampling,
-    )
+    # jit the whole pipeline (encoder+prefill+decode+DAC): eager dispatch
+    # compiles only the decode scans and runs everything else op-by-op
+    out = jax.jit(
+        lambda p, f, r: system.generate(
+            p, f, r, max_new_tokens=tokens, tokens_per_frame=7, **sampling
+        )
+    )(params, jnp.asarray(frames[:, :seg_for_chunk]), gen_rng)
     audio = np.clip(np.asarray(out["audio"], np.float32), -1, 1)
     write_wav(args.out / "generated.wav", audio[0], 44100)
     media.write_video(

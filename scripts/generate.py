@@ -239,6 +239,7 @@ def generate(cfg: dict) -> dict:
     a_sr = system.dac_config.sample_rate
 
     max_batches = cfg.get("max_batches")
+    _gen_jit_cache: dict = {}
     n_done = 0
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= int(max_batches):
@@ -268,13 +269,32 @@ def generate(cfg: dict) -> dict:
                 frames = jax.device_put(np.asarray(frames), batch_sharding)
             rng, gen_rng = jax.random.split(rng)
             if duration <= model_max_duration:
-                item = system.generate(
-                    params, frames, gen_rng, max_new_tokens=total_gen_len,
-                    tokens_per_frame=7,
-                    audio_prompt_codes=prompt_codes,
-                    remove_prompts=remove_prompts,
-                    **sampling,
+                # jit per (frames, prompt) shape — steady batches share one
+                # graph, the last short batch compiles a second. Eager
+                # dispatch runs only the decode scans compiled; the
+                # encoder/prefill/DAC ops would go op-by-op (25x slower on
+                # a tunneled TPU; see serve.py _generate).
+                key = (
+                    tuple(frames.shape),
+                    None if prompt_codes is None else tuple(prompt_codes.shape),
                 )
+                fn = _gen_jit_cache.get(key)
+                if fn is None:
+                    has_prompt = prompt_codes is not None
+
+                    def fn(params, frames, rng, prompt, _hp=has_prompt):
+                        return system.generate(
+                            params, frames, rng,
+                            max_new_tokens=total_gen_len,
+                            tokens_per_frame=7,
+                            audio_prompt_codes=prompt if _hp else None,
+                            remove_prompts=remove_prompts,
+                            **sampling,
+                        )
+
+                    fn = jax.jit(fn)
+                    _gen_jit_cache[key] = fn
+                item = fn(params, frames, gen_rng, prompt_codes)
             else:
                 item = system.generate_long(
                     params, frames, gen_rng,

@@ -18,7 +18,8 @@ Endpoints::
 Batching: requests queue up; the worker drains up to ``--batch`` of them
 (or waits ``--max-wait-ms``), pads the batch, runs the single compiled
 graph, and replies per-request. Throughput at the compiled batch follows
-bench.py (65.8 audio-sec/s/chip at B=128 on v5e).
+bench.py (91.3 audio-sec/s/chip at B=128 int8 on v5e; serving default is
+bf16 — see PERFORMANCE.md for the measured HTTP serving numbers).
 
 Usage::
 
@@ -210,14 +211,28 @@ class GenerationService:
         self._worker.start()
 
     def _generate(self, feats, rng):
-        return self.system.generate(
-            self.params, None, rng,
-            vis_feats=feats,
-            max_new_tokens=self.tokens,
-            tokens_per_frame=7,
-            decode_to_audio=True,
-            **self.sampling,
-        )
+        # One jitted graph for the whole request pipeline. Without the
+        # jit wrapper only the decode scans execute compiled (lax.scan is
+        # compiled even eagerly); the prefill/embed/DAC-decode ops would
+        # dispatch one-by-one — measured 21 s vs 0.9 s per 8-batch on the
+        # tunneled v5e.
+        gen = getattr(self, "_gen_jit", None)
+        if gen is None:
+            import jax
+
+            def _run(params, feats, rng):
+                return self.system.generate(
+                    params, None, rng,
+                    vis_feats=feats,
+                    max_new_tokens=self.tokens,
+                    tokens_per_frame=7,
+                    decode_to_audio=True,
+                    **self.sampling,
+                )
+
+            gen = jax.jit(_run)
+            self._gen_jit = gen
+        return gen(self.params, feats, rng)
 
     def _warmup(self):
         import jax.numpy as jnp
@@ -301,14 +316,21 @@ class GenerationService:
                 for i, s in enumerate(slots):
                     feats[i, : s["feats"].shape[0]] = s["feats"]
                 self._rng, sub = self._jax.random.split(self._rng)
+                t0 = time.time()
                 out = self._generate(jnp.asarray(feats), sub)
+                t1 = time.time()
                 audio = np.asarray(out["audio"], np.float32)
                 codes = np.asarray(out["codes"])
+                t2 = time.time()
                 for i, s in enumerate(slots):
                     s["result"] = (
                         codes[i] if s["want"] == "codes" else audio[i]
                     )
                     s["done"].set()
+                logger.info(
+                    "batch n=%d dispatch=%.3fs run+fetch=%.3fs",
+                    len(slots), t1 - t0, t2 - t1,
+                )
             except Exception as e:  # pragma: no cover - defensive
                 logger.exception("batch failed")
                 for s in slots:

@@ -342,14 +342,24 @@ class Trainer:
         # (vaura_model.py:644-649)
         n_tokens = 221 if self.system.flatten_vis_feats else 48
         n_tokens = min(n_tokens, self.system.sampler_config.block_size_audio - 16)
-        out = self.system.generate(
-            params,
-            jax.numpy.asarray(frames),
-            rng,
-            max_new_tokens=n_tokens,
-            top_k=128,
-            decode_to_audio=True,
-        )
+        # jit once (cached on self; same predict sample shape every epoch)
+        # so the epoch-interval sample doesn't run the encoder/DAC ops
+        # eagerly on a remote device
+        key = (frames.shape, n_tokens)
+        fn = getattr(self, "_predict_gen_jit", {}).get(key)
+        if fn is None:
+
+            def fn(params, frames, rng, _n=n_tokens):
+                return self.system.generate(
+                    params, frames, rng,
+                    max_new_tokens=_n, top_k=128, decode_to_audio=True,
+                )
+
+            fn = jax.jit(fn)
+            if not hasattr(self, "_predict_gen_jit"):
+                self._predict_gen_jit = {}
+            self._predict_gen_jit[key] = fn
+        out = fn(params, jax.numpy.asarray(frames), rng)
         audio = np.clip(np.asarray(out["audio"], np.float32), -1, 1)
         sr = self.system.dac_config.sample_rate
         name = "sample_0"
