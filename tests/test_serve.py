@@ -122,3 +122,31 @@ def test_fixed_conditioning_length(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(base, "/generate", {"features": too_long.tolist()})
     assert e.value.code in (400, 500)
+
+
+def test_binary_npy_request(server):
+    """application/octet-stream .npy bodies parse on the binary fast
+    path and return the same WAV contract as JSON requests."""
+    base, service = server
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((4, service.cond_dim)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, feats)
+    req = urllib.request.Request(
+        base + "/generate", data=buf.getvalue(),
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    wav_bytes = urllib.request.urlopen(req).read()
+    with wave.open(io.BytesIO(wav_bytes)) as w:
+        assert w.getframerate() == service.sample_rate
+        assert w.getnframes() > 0
+    # wrong trailing dim still 400s on the binary path
+    bad = io.BytesIO()
+    np.save(bad, np.zeros((4, 7), np.float32))
+    req = urllib.request.Request(
+        base + "/generate", data=bad.getvalue(),
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
