@@ -240,6 +240,20 @@ def generate(cfg: dict) -> dict:
 
     max_batches = cfg.get("max_batches")
     _gen_jit_cache: dict = {}
+    # GT codec round-trip (save_original_files + compress_original_audio)
+    # runs once per sample — jit it or the ~50 DAC convs dispatch
+    # one-by-one per clip on a remote device
+    _roundtrip_jit_cache: dict = {}
+
+    def _codec_roundtrip(ga: np.ndarray) -> np.ndarray:
+        fn = _roundtrip_jit_cache.get(ga.shape)
+        if fn is None:
+            fn = jax.jit(
+                lambda p, a: system.decode_audio(p, system.encode_audio(p, a))
+            )
+            _roundtrip_jit_cache[ga.shape] = fn
+        return np.asarray(fn(params, jax.numpy.asarray(ga)), dtype=np.float32)
+
     n_done = 0
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= int(max_batches):
@@ -351,15 +365,7 @@ def generate(cfg: dict) -> dict:
                     # {fn}_original with the codec-compressed GT track)
                     ga = gt_audio[i : i + 1]
                     if compress_original_audio:
-                        ga = np.asarray(
-                            system.decode_audio(
-                                params,
-                                system.encode_audio(
-                                    params, jax.numpy.asarray(ga)
-                                ),
-                            ),
-                            dtype=np.float32,
-                        )
+                        ga = _codec_roundtrip(ga)
                     save_results(
                         ga.reshape(-1), orig_frames, out_dir,
                         f"{Path(fn).stem}_original",

@@ -269,7 +269,17 @@ class GenerationService:
         x = np.transpose(x, (3, 0, 1, 2)).reshape(
             3, n_seg, fps, *frames.shape[1:3]
         ).transpose(1, 0, 2, 3, 4)[None]  # [1, S, C, T, H, W]
-        feats = self.system.visual_features(self.params, jnp.asarray(x))
+        fn = getattr(self, "_vis_jit", {}).get(x.shape)
+        if fn is None:
+            import jax
+
+            fn = jax.jit(
+                lambda p, f: self.system.visual_features(p, f)
+            )
+            if not hasattr(self, "_vis_jit"):
+                self._vis_jit = {}
+            self._vis_jit[x.shape] = fn
+        feats = fn(self.params, jnp.asarray(x))
         return np.asarray(feats)[0]
 
     def submit(self, feats: np.ndarray, want: str = "audio"):

@@ -564,7 +564,10 @@ class Sampler(nn.Module):
             block_def = TransformerBlock
         block = nn.scan(
             block_def,
-            variable_axes={"params": 0},
+            # intermediates must be declared or nn.scan silently drops
+            # the per-layer attn_probs sow (reference attention-weight
+            # videos, train_utils.py:204-255, read layer -1)
+            variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast, 0, nn.broadcast, nn.broadcast),
             out_axes=0,

@@ -310,12 +310,30 @@ class Trainer:
                 if batch.get("frames") is not None
                 else None
             )
-            _, aux = self.system.train_forward(
-                params, sub_frames, sub_audio, jax.random.PRNGKey(0), train=False
+            # jit (cached per tracked-subset shape): the eager forward +
+            # DAC decode would dispatch op-by-op on a remote device
+            shapes = (
+                sub_audio.shape,
+                None if sub_frames is None else sub_frames.shape,
             )
-            tokens = jnp.argmax(aux["logits"], axis=-1)
+            fn = getattr(self, "_tracked_jit", {}).get(shapes)
+            if fn is None:
+                has_frames = sub_frames is not None
+
+                def fn(params, frames, audio, _hf=has_frames):
+                    _, aux = self.system.train_forward(
+                        params, frames if _hf else None, audio,
+                        jax.random.PRNGKey(0), train=False,
+                    )
+                    tokens = jnp.argmax(aux["logits"], axis=-1)
+                    return self.system.decode_audio(params, tokens)
+
+                fn = jax.jit(fn)
+                if not hasattr(self, "_tracked_jit"):
+                    self._tracked_jit = {}
+                self._tracked_jit[shapes] = fn
             wav = np.clip(
-                np.asarray(self.system.decode_audio(params, tokens), np.float32),
+                np.asarray(fn(params, sub_frames, sub_audio), np.float32),
                 -1, 1,
             )
             sr = self.system.dac_config.sample_rate
@@ -395,15 +413,28 @@ class Trainer:
                 seq, _, _ = pattern.build_pattern_sequence(
                     codes[:, :, :-1], self.system.special_token_id
                 )
-                vis_feats = self.system.visual_features(
-                    params, jax.numpy.asarray(frames), train=False
-                )
-                _, inter = self.system.sampler.apply(
-                    {"params": params["sampler"]},
-                    seq,
-                    vis_feats,
-                    False,
-                    mutable=["intermediates"],
+                akey = (seq.shape, frames.shape)
+                afn = getattr(self, "_attn_jit", {}).get(akey)
+                if afn is None:
+
+                    def afn(params, frames, seq):
+                        vis_feats = self.system.visual_features(
+                            params, frames, train=False
+                        )
+                        return self.system.sampler.apply(
+                            {"params": params["sampler"]},
+                            seq,
+                            vis_feats,
+                            False,
+                            mutable=["intermediates"],
+                        )
+
+                    afn = jax.jit(afn)
+                    if not hasattr(self, "_attn_jit"):
+                        self._attn_jit = {}
+                    self._attn_jit[akey] = afn
+                _, inter = afn(
+                    params, jax.numpy.asarray(frames), seq
                 )
                 # sown under layers -> stacked [L, ...]; take the last layer
                 probs = jax.tree.leaves(inter)[0]
