@@ -115,7 +115,23 @@ def _bn(x, p, axis=-1):
 
 
 def cnn14_forward(params: Dict[str, Any], logmel) -> Tuple[Any, Any]:
-    """[N, T, 64] log-mel -> (embedding [N, 2048], class probs [N, 527])."""
+    """[N, T, 64] log-mel -> (embedding [N, 2048], class probs [N, 527]).
+
+    Jitted (cached; one graph per logmel shape) — the eval loop calls
+    this per clip and the 12-conv stack would dispatch eagerly.
+    """
+    global _CNN14_JIT
+    import jax
+
+    if _CNN14_JIT is None:
+        _CNN14_JIT = jax.jit(_cnn14_forward_impl)
+    return _CNN14_JIT(params, jax.numpy.asarray(logmel))
+
+
+_CNN14_JIT = None
+
+
+def _cnn14_forward_impl(params: Dict[str, Any], logmel) -> Tuple[Any, Any]:
     import jax
     import jax.numpy as jnp
 

@@ -101,7 +101,23 @@ _POOL_AFTER = {0, 1, 3, 5}  # maxpool follows these conv indices
 
 
 def vggish_embed(params: Dict[str, Any], patches) -> Any:
-    """[N, 96, 64] log-mel examples -> [N, 128] embeddings (jnp)."""
+    """[N, 96, 64] log-mel examples -> [N, 128] embeddings (jnp).
+
+    Jitted (cached per patch count): the eval loop calls this once per
+    clip, and the 13-op conv stack would otherwise dispatch eagerly.
+    """
+    global _VGGISH_JIT
+    import jax
+
+    if _VGGISH_JIT is None:
+        _VGGISH_JIT = jax.jit(_vggish_embed_impl)
+    return _VGGISH_JIT(params, jax.numpy.asarray(patches))
+
+
+_VGGISH_JIT = None
+
+
+def _vggish_embed_impl(params: Dict[str, Any], patches) -> Any:
     import jax
     import jax.numpy as jnp
 
