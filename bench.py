@@ -87,6 +87,11 @@ def main() -> None:
              "scripts/precompute_codes.py pipeline) instead of encoding "
              "audio every step — measured 274 vs 200 ms/step at B=12",
     )
+    ap.add_argument("--no-remat", action="store_true",
+                    help="train mode: disable block rematerialization")
+    ap.add_argument("--mu-dtype", type=str, default=None,
+                    help="train mode: AdamW first-moment dtype (e.g. "
+                         "bfloat16) — halves optimizer-state memory")
     args = ap.parse_args()
     if args.decode_buckets is None:
         args.decode_buckets = 2 if args.mode == "long" else 8
@@ -417,9 +422,12 @@ def bench_train(args) -> None:
     from vaura_tpu.models.vaura import VauraSystem
     from vaura_tpu.train.state import TrainState, make_optimizer
 
-    B = min(args.batch, 12)  # 16 GB v5e envelope with remat
+    # default --batch (128, the generate sweet spot) maps to the measured
+    # 16 GB train envelope (12 with remat); an explicitly smaller/larger
+    # train batch (<=64) is honored as-is for envelope probing
+    B = args.batch if args.batch <= 64 else 12
     system = VauraSystem(
-        sampler_config=SamplerConfig(remat=True),
+        sampler_config=SamplerConfig(remat=not args.no_remat),
         dac_config=config_for_sample_rate(44100),
         encoder_config=None,
         use_visual_conditioning=True,
@@ -436,7 +444,9 @@ def bench_train(args) -> None:
         lambda r: system.dac.init(r, jnp.zeros((1, 1, 2048)))["params"]
     )(rng)
     frozen = {"dac": dac}
-    state = TrainState.create({"sampler": sam}, make_optimizer(1e-4))
+    state = TrainState.create(
+        {"sampler": sam}, make_optimizer(1e-4, mu_dtype=args.mu_dtype)
+    )
 
     def train_step(state, audio, codes, vis, rng):
         def loss_fn(trainable):

@@ -156,6 +156,7 @@ def restore_trainable_params(
         accumulate_grad_batches=int(
             trainer_cfg.get("accumulate_grad_batches", 1) or 1
         ),
+        mu_dtype=model_cfg.get("adam_mu_dtype"),
     )
     opt_abstract = jax.eval_shape(tx.init, abstract)
     payload = ckptr.restore(

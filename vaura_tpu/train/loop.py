@@ -135,6 +135,7 @@ class Trainer:
             gradient_clip_val=cfg.get("gradient_clip_val", 1.0),
             gradient_clip_algorithm=cfg.get("gradient_clip_algorithm", "value"),
             accumulate_grad_batches=int(cfg.get("accumulate_grad_batches", 1) or 1),
+            mu_dtype=self.model_cfg.get("adam_mu_dtype"),
         )
         state = TrainState.create(trainable, tx)
         if resume_path:

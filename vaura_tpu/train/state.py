@@ -57,11 +57,14 @@ def make_optimizer(
     gradient_clip_val: Optional[float] = 1.0,
     gradient_clip_algorithm: str = "value",
     accumulate_grad_batches: int = 1,
+    mu_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """AdamW with per-rank decay masking + value/norm clipping; frozen
     buffer leaves get zero updates. ``accumulate_grad_batches`` wraps the
     whole transform in ``optax.MultiSteps`` (reference
-    ``trainer.accumulate_grad_batches``)."""
+    ``trainer.accumulate_grad_batches``). ``mu_dtype`` (e.g.
+    ``"bfloat16"``) halves the first-moment memory — the flagship's
+    AdamW state is ~11 GB f32, the usual OOM driver on one chip."""
     chain = []
     if gradient_clip_val is not None and gradient_clip_val > 0:
         if gradient_clip_algorithm == "value":
@@ -73,7 +76,8 @@ def make_optimizer(
 
     def adamw(wd: float) -> optax.GradientTransformation:
         return optax.adamw(
-            learning_rate=learning_rate, b1=betas[0], b2=betas[1], weight_decay=wd
+            learning_rate=learning_rate, b1=betas[0], b2=betas[1], weight_decay=wd,
+            mu_dtype=mu_dtype,
         )
 
     chain.append(
