@@ -48,6 +48,17 @@ def main() -> None:
              "- validate quality on real weights; see PERFORMANCE.md)",
     )
     ap.add_argument("--no-int8", dest="int8", action="store_false")
+    ap.add_argument(
+        "--cache-bits", type=int, choices=[8, 4], default=8,
+        help="KV-cache width under --int8: 4 = nibble-packed int4 "
+             "(halves the cache stream again; quality caveat in "
+             "PERFORMANCE.md applies doubly)",
+    )
+    ap.add_argument(
+        "--int8-dots", action="store_true",
+        help="int8 x int8 attention dots in the decode loop (dynamic q/prob "
+             "quantization; MXU reads the int8 cache without bf16 widening)",
+    )
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument(
         "--mode", choices=["generate", "train", "encoder", "long"],
@@ -218,7 +229,8 @@ def main() -> None:
         from vaura_tpu.ops.quantization import quantize_sampler_params
 
         sampler_cfg = dataclasses.replace(
-            sampler_cfg, quantize_weights=True, quantize_cache=True
+            sampler_cfg, quantize_weights=True, quantize_cache=True,
+            cache_bits=args.cache_bits, int8_dots=args.int8_dots,
         )
         system = _VS(
             sampler_config=sampler_cfg,

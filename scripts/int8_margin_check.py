@@ -52,6 +52,12 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true",
                     help="2L x 192d smoke config (CPU logic check only — "
                     "margins are NOT representative at this scale)")
+    ap.add_argument("--cache-bits", type=int, choices=[8, 4], default=8,
+                    help="quantized KV-cache width for the comparison arm "
+                    "(4 = nibble-packed int4; affects rollouts, not the "
+                    "teacher-forced full forward)")
+    ap.add_argument("--int8-dots", action="store_true",
+                    help="int8 x int8 attention dots in the quantized arm")
     args = ap.parse_args()
 
     import jax
@@ -129,6 +135,8 @@ def main() -> None:
         cfg = dataclasses.replace(
             sampler_cfg, remat=False, dropout=0.0,
             quantize_weights=quantize, quantize_cache=quantize,
+            cache_bits=args.cache_bits if quantize else 8,
+            int8_dots=args.int8_dots if quantize else False,
         )
         sys_ = VauraSystem(
             sampler_config=cfg,
@@ -200,6 +208,7 @@ def main() -> None:
         "greedy_mean_first_divergence_step_cfg6": first_div["cfg6"],
         "mean_abs_logit_delta_over_std": round(delta, 5),
         "steps": args.steps, "batch": B, "tokens": args.tokens,
+        "cache_bits": args.cache_bits, "int8_dots": args.int8_dots,
     }))
 
 

@@ -227,3 +227,108 @@ def test_quantized_cache_decode_close_to_float(setup):
     got = run(qmodel)
     err = np.abs(ref - got).max()
     assert err < 0.02 * max(np.abs(ref).max(), 1.0), err
+
+
+def test_int4_pack_roundtrip():
+    """Nibble packing is exact on the int4 grid, and quantize_kv4's
+    dequantization error is bounded by half a quantization step."""
+    from vaura_tpu.ops.quantization import quantize_kv4, unpack_int4
+
+    rng = np.random.default_rng(0)
+    q4 = rng.integers(-7, 8, size=(3, 5, 4, 16)).astype(np.int8)
+    lo, hi = q4[..., :8], q4[..., 8:]
+    packed = jnp.asarray((lo & 0x0F) | (hi << 4), jnp.int8)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), q4)
+
+    x = jnp.asarray(rng.standard_normal((2, 7, 4, 16)), jnp.float32)
+    p, s = quantize_kv4(x)
+    assert p.shape == x.shape[:-1] + (8,) and p.dtype == jnp.int8
+    deq = np.asarray(unpack_int4(p)).astype(np.float32) * np.asarray(s)[..., None]
+    step = np.asarray(s)[..., None]
+    assert np.abs(deq - np.asarray(x)).max() <= (step / 2 + 1e-6).max()
+
+
+@pytest.mark.slow
+def test_int4_cache_decode_close_to_float(setup):
+    """int4 (nibble-packed) KV cache decode tracks the float-cache decode.
+    Coarser than int8 (15 levels/head-row) — tolerance is correspondingly
+    looser; quality at trained margins is gated separately
+    (scripts/int8_margin_check.py --cache-bits 4)."""
+    import dataclasses
+
+    model, params, tokens, cond = setup
+    params = _nonzero_head(params)
+    B, K, S = tokens.shape
+    tpf = default_tokens_per_frame(S, cond.shape[1], K)
+    cond_emb = model.apply({"params": params}, cond, False, method=model.embed_cond)
+    cond_seq = model.apply(
+        {"params": params}, cond_emb, S, tpf, method=model.build_cond_seq
+    )
+
+    def run(m):
+        cache = m.apply({"params": params}, B, S, method=m.init_cache)
+        outs = []
+        for s in range(S):
+            logits_s, cache = m.apply(
+                {"params": params},
+                tokens[:, :, s : s + 1],
+                cond_seq[:, s : s + 1],
+                cache,
+                jnp.int32(s),
+                method=m.decode_step,
+            )
+            outs.append(np.asarray(logits_s))
+        return np.stack(outs, axis=2)
+
+    ref = run(model)
+    q4 = Sampler(dataclasses.replace(TINY, quantize_cache=True, cache_bits=4))
+    got4 = run(q4)
+    err4 = np.abs(ref - got4).max()
+    assert err4 < 0.15 * max(np.abs(ref).max(), 1.0), err4
+
+    # int8 x int8 attention dots on top of the int4 cache: the dynamic
+    # q/prob quantization adds ~1/254 relative error per dot — small
+    # against the int4 cache error itself
+    qd = Sampler(dataclasses.replace(
+        TINY, quantize_cache=True, cache_bits=4, int8_dots=True
+    ))
+    gotd = run(qd)
+    assert np.abs(got4 - gotd).max() < 0.05 * max(np.abs(ref).max(), 1.0)
+
+
+@pytest.mark.slow
+def test_int8_dots_decode_close_to_int8_cache(setup):
+    """int8 x int8 attention dots (dynamic q/prob quantization) track the
+    bf16-dot int8-cache decode closely."""
+    import dataclasses
+
+    model, params, tokens, cond = setup
+    params = _nonzero_head(params)
+    B, K, S = tokens.shape
+    tpf = default_tokens_per_frame(S, cond.shape[1], K)
+    cond_emb = model.apply({"params": params}, cond, False, method=model.embed_cond)
+    cond_seq = model.apply(
+        {"params": params}, cond_emb, S, tpf, method=model.build_cond_seq
+    )
+
+    def run(m):
+        cache = m.apply({"params": params}, B, S, method=m.init_cache)
+        outs = []
+        for s in range(S):
+            logits_s, cache = m.apply(
+                {"params": params},
+                tokens[:, :, s : s + 1],
+                cond_seq[:, s : s + 1],
+                cache,
+                jnp.int32(s),
+                method=m.decode_step,
+            )
+            outs.append(np.asarray(logits_s))
+        return np.stack(outs, axis=2)
+
+    base = run(Sampler(dataclasses.replace(TINY, quantize_cache=True)))
+    dots = run(Sampler(dataclasses.replace(
+        TINY, quantize_cache=True, int8_dots=True
+    )))
+    err = np.abs(base - dots).max()
+    assert err < 0.03 * max(np.abs(base).max(), 1.0), err

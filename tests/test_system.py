@@ -282,6 +282,34 @@ def test_decode_buckets_match_unbucketed(system):
     )
 
 
+@pytest.mark.slow
+def test_decode_buckets_match_unbucketed_int4_dots(system):
+    """Bucketing stays bit-exact under the int4 nibble-packed cache +
+    int8 attention dots: quantization happens per committed position, so
+    buffer length still cannot change the math."""
+    import dataclasses
+
+    sys_, params = system
+    qsys = dataclasses.replace(
+        sys_,
+        sampler_config=dataclasses.replace(
+            SAMPLER_TINY, quantize_cache=True, cache_bits=4, int8_dots=True
+        ),
+    )
+    frames = _batch(B=2)["frames"]
+    kw = dict(max_new_tokens=40, use_sampling=True, temp=1.0, top_k=8,
+              cfg_scale=3.0, decode_to_audio=False)
+    out1 = qsys.generate(
+        params, frames, jax.random.PRNGKey(5), decode_buckets=1, **kw
+    )
+    out4 = qsys.generate(
+        params, frames, jax.random.PRNGKey(5), decode_buckets=4, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out1["codes"]), np.asarray(out4["codes"])
+    )
+
+
 def test_decode_buckets_with_prompt_prefill(system):
     """Buckets + a long audio prompt: the prefill-produced full-length
     cache is sliced down to the first executed segment's buffer and the

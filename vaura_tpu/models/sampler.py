@@ -81,6 +81,15 @@ class SamplerConfig:
     remat_policy: Optional[str] = None
     quantize_weights: bool = False  # int8 weight-only matmuls (inference)
     quantize_cache: bool = False  # int8 KV cache (halves decode cache reads)
+    # KV-cache storage width when quantize_cache: 8 = int8 (default), 4 =
+    # nibble-packed int4 (halves the cache stream again; coarser scales —
+    # quality must be gated at trained margins, see PERFORMANCE.md)
+    cache_bits: int = 8
+    # int8 x int8 attention dots: dynamically quantize the decode q vector
+    # and the (v-scale-folded) prob rows so the MXU consumes the int8 cache
+    # directly instead of widening it to bf16 first (the widening costs
+    # ~18% of cache-read bandwidth — PERFORMANCE.md roofline)
+    int8_dots: bool = False
     scan_unroll: int = 1  # unroll factor for the layer scan (perf knob)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
@@ -270,6 +279,11 @@ class Attention(nn.Module):
                 # int8 cache: per-(position, head) scales fold outside the
                 # dots, so the matmuls read int8 directly
                 ck, cv, ck_s, cv_s = cache_kv  # [B,S,H,hd] i8 + [B,S,H] f32
+                if cfg.cache_bits == 4:
+                    from vaura_tpu.ops.quantization import unpack_int4
+
+                    ck = unpack_int4(ck)  # [B,S,H,hd/2] packed -> [.., hd]
+                    cv = unpack_int4(cv)
             else:
                 ck, cv = cache_kv  # [B, S_max, n_kv, hd]
                 ck_s = cv_s = None
@@ -284,10 +298,23 @@ class Attention(nn.Module):
                 if ck_s is not None:
                     ck_s = jnp.repeat(ck_s, rep, axis=2)
                     cv_s = jnp.repeat(cv_s, rep, axis=2)
-            scores_c = jnp.einsum(
-                "bshd,bthd->bhst", q, keys.astype(q.dtype),
-                preferred_element_type=jnp.float32,
-            ) * scale  # [B, H, 1, S_max]
+            if ck_s is not None and cfg.int8_dots:
+                # int8 x int8 qk dot: the MXU reads the int8 cache directly
+                # (no bf16 widening); q's dynamic scale folds onto scores
+                from vaura_tpu.ops.quantization import quantize_rows
+
+                q8, q_s = quantize_rows(q)  # [B,1,H,hd] i8, [B,1,H]
+                scores_c = jnp.einsum(
+                    "bshd,bthd->bhst", q8, keys,
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * (
+                    scale * jnp.transpose(q_s, (0, 2, 1))[:, :, :, None]
+                )
+            else:
+                scores_c = jnp.einsum(
+                    "bshd,bthd->bhst", q, keys.astype(q.dtype),
+                    preferred_element_type=jnp.float32,
+                ) * scale  # [B, H, 1, S_max]
             if ck_s is not None:
                 scores_c = scores_c * jnp.transpose(ck_s, (0, 2, 1))[:, :, None, :]
             valid = (jnp.arange(S_max) < pos)[None, None, None, :]
@@ -300,11 +327,22 @@ class Attention(nn.Module):
             p_cache = probs[..., :S_max]
             if cv_s is not None:
                 p_cache = p_cache * jnp.transpose(cv_s, (0, 2, 1))[:, :, None, :]
-            out = jnp.einsum(
-                "bhst,bthd->bshd",
-                p_cache.astype(cfg.dtype),
-                values.astype(cfg.dtype),
-            ) + jnp.einsum(
+            if cv_s is not None and cfg.int8_dots:
+                from vaura_tpu.ops.quantization import quantize_rows
+
+                p8, p_s = quantize_rows(p_cache)  # [B,H,1,S] i8, [B,H,1]
+                out_c = jnp.einsum(
+                    "bhst,bthd->bshd", p8, values,
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * jnp.transpose(p_s, (0, 2, 1))[..., None]
+                out = out_c.astype(cfg.dtype)
+            else:
+                out = jnp.einsum(
+                    "bhst,bthd->bshd",
+                    p_cache.astype(cfg.dtype),
+                    values.astype(cfg.dtype),
+                )
+            out = out + jnp.einsum(
                 "bhst,bthd->bshd", probs[..., S_max:].astype(v_cur.dtype), v_cur
             )
             out = out.reshape(B, S, cfg.d_model)
@@ -662,9 +700,10 @@ class Sampler(nn.Module):
         dtype = dtype or cfg.dtype
         shape = (cfg.num_layers, batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
         if cfg.quantize_cache:
+            store_hd = cfg.head_dim // 2 if cfg.cache_bits == 4 else cfg.head_dim
             return {
-                "k": jnp.zeros(shape, jnp.int8),
-                "v": jnp.zeros(shape, jnp.int8),
+                "k": jnp.zeros(shape[:-1] + (store_hd,), jnp.int8),
+                "v": jnp.zeros(shape[:-1] + (store_hd,), jnp.int8),
                 "k_scale": jnp.zeros(shape[:-1], jnp.float32),
                 "v_scale": jnp.zeros(shape[:-1], jnp.float32),
             }
@@ -695,10 +734,11 @@ class Sampler(nn.Module):
         )
         k_full, v_full = ys  # [L, B, S, n_kv, hd]
         if cfg.quantize_cache:
-            from vaura_tpu.ops.quantization import quantize_kv
+            from vaura_tpu.ops.quantization import quantize_kv, quantize_kv4
 
-            kq, ks = quantize_kv(k_full)
-            vq, vs = quantize_kv(v_full)
+            qfn = quantize_kv4 if cfg.cache_bits == 4 else quantize_kv
+            kq, ks = qfn(k_full)
+            vq, vs = qfn(v_full)
             return self._logits(h), {
                 "k": kq, "v": vq, "k_scale": ks, "v_scale": vs,
             }
@@ -739,10 +779,11 @@ class Sampler(nn.Module):
         )
         k_cur, v_cur = ys  # [L, B, 1, n_kv, hd]
         if cfg.quantize_cache:
-            from vaura_tpu.ops.quantization import quantize_kv
+            from vaura_tpu.ops.quantization import quantize_kv, quantize_kv4
 
-            kq, ks = quantize_kv(k_cur)
-            vq, vs = quantize_kv(v_cur)
+            qfn = quantize_kv4 if cfg.cache_bits == 4 else quantize_kv
+            kq, ks = qfn(k_cur)
+            vq, vs = qfn(v_cur)
             new_cache = {
                 "k": jax.lax.dynamic_update_slice(
                     cache["k"], kq, (0, 0, pos, 0, 0)

@@ -85,3 +85,52 @@ def quantize_kv(x: jax.Array) -> tuple:
     scale = jnp.maximum(scale, 1e-8)
     q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def quantize_kv4(x: jax.Array) -> tuple:
+    """Symmetric int4 over the last axis, nibble-packed into int8: returns
+    ``(packed int8 [..., hd//2], scale f32[...])``.
+
+    Pack layout is half-split (NOT interleaved): packed element ``j`` holds
+    value ``j`` in the low nibble and value ``j + hd//2`` in the high
+    nibble, so :func:`unpack_int4` is two shifts + one concat (no
+    interleave relayout on the minor axis). ``jnp.int4`` itself is unusable
+    through the axon relay (jit recursion on S4 scalars — PERFORMANCE.md),
+    hence the manual packing. Range is symmetric [-7, 7]."""
+    hd = x.shape[-1]
+    assert hd % 2 == 0, "head_dim must be even for nibble packing"
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 7.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -7, 7).astype(jnp.int8)
+    lo = q[..., : hd // 2]
+    hi = q[..., hd // 2 :]
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(lo, jnp.int8(0x0F)),
+        jnp.left_shift(hi, jnp.int8(4)),
+    )
+    return packed, scale
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of :func:`quantize_kv4`'s packing: int8 [..., hd//2] ->
+    int8 [..., hd] with sign-extended nibbles (low nibble = first half of
+    head_dim, high nibble = second half)."""
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(packed, jnp.int8(4)), jnp.int8(4)
+    )
+    hi = jax.lax.shift_right_arithmetic(packed, jnp.int8(4))
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def quantize_rows(x: jax.Array) -> tuple:
+    """Dynamic symmetric int8 over the last axis for activations (the
+    decode-step q vector / attention-prob rows): ``(q int8, scale f32)``
+    with ``x ~ q * scale[..., None]``. Enables int8 x int8 attention dots
+    (``SamplerConfig.int8_dots``) so the MXU consumes the int8 cache
+    directly instead of widening it to bf16 first."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
