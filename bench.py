@@ -341,7 +341,8 @@ def bench_long(args) -> None:
     sampler_cfg = SamplerConfig()
     if args.int8:
         sampler_cfg = dataclasses.replace(
-            sampler_cfg, quantize_weights=True, quantize_cache=True
+            sampler_cfg, quantize_weights=True, quantize_cache=True,
+            cache_bits=args.cache_bits, int8_dots=args.int8_dots,
         )
     dac_cfg = dataclasses.replace(
         config_for_sample_rate(44100), dtype=jnp.bfloat16

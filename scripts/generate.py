@@ -13,12 +13,15 @@ from __future__ import annotations
 import logging
 import math
 import traceback
+import types
 from pathlib import Path
 from typing import Optional
 
 import jax
 import numpy as np
 import yaml
+
+from vaura_tpu.utils import cached_jit
 
 from vaura_tpu.data import get_datamodule_from_type
 from vaura_tpu.models.factory import build_system
@@ -239,19 +242,16 @@ def generate(cfg: dict) -> dict:
     a_sr = system.dac_config.sample_rate
 
     max_batches = cfg.get("max_batches")
-    _gen_jit_cache: dict = {}
+    _jits = types.SimpleNamespace()
+
     # GT codec round-trip (save_original_files + compress_original_audio)
     # runs once per sample — jit it or the ~50 DAC convs dispatch
     # one-by-one per clip on a remote device
-    _roundtrip_jit_cache: dict = {}
-
     def _codec_roundtrip(ga: np.ndarray) -> np.ndarray:
-        fn = _roundtrip_jit_cache.get(ga.shape)
-        if fn is None:
-            fn = jax.jit(
-                lambda p, a: system.decode_audio(p, system.encode_audio(p, a))
-            )
-            _roundtrip_jit_cache[ga.shape] = fn
+        fn = cached_jit(
+            _jits, "roundtrip", ga.shape,
+            lambda p, a: system.decode_audio(p, system.encode_audio(p, a)),
+        )
         return np.asarray(fn(params, jax.numpy.asarray(ga)), dtype=np.float32)
 
     n_done = 0
@@ -292,22 +292,19 @@ def generate(cfg: dict) -> dict:
                     tuple(frames.shape),
                     None if prompt_codes is None else tuple(prompt_codes.shape),
                 )
-                fn = _gen_jit_cache.get(key)
-                if fn is None:
-                    has_prompt = prompt_codes is not None
+                has_prompt = prompt_codes is not None
 
-                    def fn(params, frames, rng, prompt, _hp=has_prompt):
-                        return system.generate(
-                            params, frames, rng,
-                            max_new_tokens=total_gen_len,
-                            tokens_per_frame=7,
-                            audio_prompt_codes=prompt if _hp else None,
-                            remove_prompts=remove_prompts,
-                            **sampling,
-                        )
+                def _gen(params, frames, rng, prompt, _hp=has_prompt):
+                    return system.generate(
+                        params, frames, rng,
+                        max_new_tokens=total_gen_len,
+                        tokens_per_frame=7,
+                        audio_prompt_codes=prompt if _hp else None,
+                        remove_prompts=remove_prompts,
+                        **sampling,
+                    )
 
-                    fn = jax.jit(fn)
-                    _gen_jit_cache[key] = fn
+                fn = cached_jit(_jits, "gen", key, _gen)
                 item = fn(params, frames, gen_rng, prompt_codes)
             else:
                 item = system.generate_long(

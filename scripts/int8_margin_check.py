@@ -176,15 +176,23 @@ def main() -> None:
     delta = float(np.abs(lq - lf)[mask].mean() / (lf[mask].std() + 1e-9))
 
     # ---- greedy rollouts ------------------------------------------- #
+    from vaura_tpu.utils import cached_jit
+
     def rollout(sys_, params, cfg_scale):
-        out = sys_.generate(
-            params, None, jax.random.PRNGKey(1),
-            vis_feats=vis[: args.gen_batch],
-            max_new_tokens=args.tokens, tokens_per_frame=7,
-            use_sampling=False, cfg_scale=cfg_scale,
-            decode_to_audio=False,
+        # jit the full pipeline (CLAUDE.md rule: eager generate dispatches
+        # the surrounding cond-embed/prefill ops one-by-one over the tunnel)
+        fn = cached_jit(
+            sys_, "_rollout_jit", (args.gen_batch, args.tokens, cfg_scale),
+            lambda p, v, r, _cs=cfg_scale: sys_.generate(
+                p, None, r, vis_feats=v,
+                max_new_tokens=args.tokens, tokens_per_frame=7,
+                use_sampling=False, cfg_scale=_cs,
+                decode_to_audio=False,
+            )["codes"],
         )
-        return np.asarray(out["codes"])
+        return np.asarray(
+            fn(params, vis[: args.gen_batch], jax.random.PRNGKey(1))
+        )
 
     gen_agree, first_div = {}, {}
     for cfg_scale in (1.0, 6.0):

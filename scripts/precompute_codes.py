@@ -24,6 +24,7 @@ if __package__ in (None, ""):  # direct `python scripts/X.py` invocation
     _sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
 
 import argparse
+import json
 import logging
 from pathlib import Path
 
@@ -95,6 +96,21 @@ def main() -> None:
     encode = jax.jit(
         lambda audio: system.encode_audio(params, audio)
     )
+    # crop-parameter manifest: the dataset verifies these at codes_dir load
+    # time — codes are only aligned with crops drawn under the same
+    # seed/video_length (vggsound.py::_verify_codes_manifest)
+    dataset = getattr(datamodule, "datasets", {}).get(args.split)
+    manifest = None
+    if dataset is not None and hasattr(dataset, "video_len"):
+        manifest = json.dumps({
+            "seed": int(getattr(dataset, "seed", 0)),
+            "video_len": float(dataset.video_len),
+            "split": args.split,
+            "deterministic_train_crops": bool(
+                getattr(dataset, "deterministic_train_crops", False)
+            ),
+        })
+    out_dirs = set()
     n = 0
     for batch in loader:
         audio = np.asarray(batch["audio"], np.float32)
@@ -105,10 +121,16 @@ def main() -> None:
             stem = Path(fp).stem
             out_dir = args.out or Path(fp).parent
             np.save(out_dir / f"{stem}.codes.npy", codes[i])
+            out_dirs.add(out_dir)
             n += 1
         if args.limit is not None and n >= args.limit:
             break
-    logger.info("wrote %d code files", n)
+    if manifest is not None:
+        for d in out_dirs:
+            (d / f"codes_meta.{args.split}.json").write_text(
+                manifest, encoding="utf-8"
+            )
+    logger.info("wrote %d code files (+%d manifests)", n, len(out_dirs))
 
 
 if __name__ == "__main__":

@@ -136,18 +136,28 @@ class GenerationService:
             # (measured at trained margins in PERFORMANCE.md "int8
             # quantization error"; random weights fail this by design)
             min_agree = float(cfg.get("quantize_min_agreement", 0.0) or 0.0)
-            agree = self._int8_agreement_probe(fp_sampler, params["sampler"])
-            msg = (
-                "int8 teacher-forced argmax agreement vs bf16: %.4f "
-                "(gate: %.2f)" % (agree, min_agree)
-            )
-            if agree < min_agree:
-                raise RuntimeError(
-                    msg + " — refusing to serve int8 at these weights; "
-                    "serve without quantize or lower "
-                    "quantize_min_agreement"
+            if min_agree > 0.0:
+                agree = self._int8_agreement_probe(
+                    fp_sampler, params["sampler"]
                 )
-            logger.info(msg)
+                msg = (
+                    "int8 teacher-forced argmax agreement vs bf16: %.4f "
+                    "(gate: %.2f)" % (agree, min_agree)
+                )
+                if agree < min_agree:
+                    raise RuntimeError(
+                        msg + " — refusing to serve int8 at these weights; "
+                        "serve without quantize or lower "
+                        "quantize_min_agreement"
+                    )
+                logger.info(msg)
+            else:
+                # a disabled gate can never fail: skip the probe's two
+                # extra graph compiles (minutes each on a cold tunnel)
+                logger.info(
+                    "int8 agreement gate disabled "
+                    "(quantize_min_agreement=0); skipping probe"
+                )
         self.params = params
         self.cond_dim = self.system.sampler_config.cond_in_dim
         self.sample_rate = self.system.dac_config.sample_rate
@@ -264,21 +274,22 @@ class GenerationService:
             )
         fps = 16  # frames per segment (divided_224_16x4 contract)
         n_seg = max(1, frames.shape[0] // fps)
+        # read_video already truncates at `duration`, but clamp explicitly:
+        # segments beyond the server window would compile a never-again-used
+        # encoder graph (minutes cold over the tunnel) only for submit() to
+        # reject the features afterwards
+        n_seg = min(n_seg, max(1, int((self.duration + 1e-6) / 0.64)))
         frames = frames[: n_seg * fps]
         x = frames.astype(np.float32) / 255.0
         x = np.transpose(x, (3, 0, 1, 2)).reshape(
             3, n_seg, fps, *frames.shape[1:3]
         ).transpose(1, 0, 2, 3, 4)[None]  # [1, S, C, T, H, W]
-        fn = getattr(self, "_vis_jit", {}).get(x.shape)
-        if fn is None:
-            import jax
+        from vaura_tpu.utils import cached_jit
 
-            fn = jax.jit(
-                lambda p, f: self.system.visual_features(p, f)
-            )
-            if not hasattr(self, "_vis_jit"):
-                self._vis_jit = {}
-            self._vis_jit[x.shape] = fn
+        fn = cached_jit(
+            self, "_vis_jit", x.shape,
+            lambda p, f: self.system.visual_features(p, f),
+        )
         feats = fn(self.params, jnp.asarray(x))
         return np.asarray(feats)[0]
 

@@ -142,6 +142,46 @@ def test_datamodule_batches(vgg_root):
     assert len(batch["meta"]["filepath"]) == 2
 
 
+def test_codes_manifest_verification(vgg_root, tmp_path):
+    """The codes_meta.<split>.json manifest written by precompute_codes is
+    verified at codes_dir load time: mismatched seed (for seed-dependent
+    crops) or video_length means the sidecars pair with the wrong
+    audio/frames and must be refused, not silently consumed."""
+    rng = np.random.default_rng(3)
+    for name in vgg_root["names"]:
+        np.save(tmp_path / f"{name}.codes.npy",
+                rng.integers(0, 17, size=(3, 12)).astype(np.int16))
+
+    def manifest(**kv):
+        base = {"seed": 0, "video_len": 0.64, "split": "train",
+                "deterministic_train_crops": True}
+        base.update(kv)
+        (tmp_path / "codes_meta.train.json").write_text(json.dumps(base))
+
+    manifest()
+    ds = _dataset(vgg_root, codes_dir=tmp_path,
+                  deterministic_train_crops=True)
+    assert len(ds) == 3
+
+    manifest(seed=7)
+    with pytest.raises(ValueError, match="seed"):
+        _dataset(vgg_root, codes_dir=tmp_path,
+                 deterministic_train_crops=True)
+
+    manifest(video_len=2.56)
+    with pytest.raises(ValueError, match="video_length"):
+        _dataset(vgg_root, codes_dir=tmp_path,
+                 deterministic_train_crops=True)
+
+    # eval splits ignore a seed mismatch (fixed-start CSV crops) but not a
+    # video_length mismatch
+    (tmp_path / "codes_meta.train.json").unlink()
+    (tmp_path / "codes_meta.test.json").write_text(json.dumps(
+        {"seed": 99, "video_len": 0.64, "split": "test"}
+    ))
+    _dataset(vgg_root, split="test", codes_dir=tmp_path)
+
+
 @pytest.mark.slow
 def test_precomputed_codes_batch_and_train_step(vgg_root, tmp_path):
     """codes_dir plumbs precomputed DAC tokens into batches, and the train

@@ -66,13 +66,28 @@ class GreatestHitDataset(VggSoundDataset):
             )
         return super()._apply_file_filters(expanded or files, *args, **kwargs)
 
+    def _crops_seed_dependent(self) -> bool:
+        # eval start points are drawn from the seeded per-stem rng below,
+        # so precomputed codes only align under the same seed
+        return True
+
     def _start_pts(self, path: Path, duration: float) -> float:
         if self.split != "train":
-            # lazily fix the eval start point per file so repeated epochs
-            # see identical crops (reference greatesthit_dataset.py:135-140)
+            # fixed eval start point per file so repeated epochs see
+            # identical crops (reference greatesthit_dataset.py:135-140).
+            # Keyed by (seed, stem) rather than drawn lazily from the
+            # shared rng stream: the reference's lazy draw makes eval
+            # crops depend on item *access order* (and, across processes,
+            # on PYTHONHASHSEED via hash()), which breaks reproducibility
+            # and precomputed-code alignment.
             if path.stem not in self._lazy_start_pts:
+                import zlib
+
                 hi = max(duration - self.video_len - EPS, 0.0)
-                self._lazy_start_pts[path.stem] = float(self._rng.uniform(0, hi))
+                r = np.random.default_rng(
+                    (self.seed, zlib.crc32(path.stem.encode()))
+                )
+                self._lazy_start_pts[path.stem] = float(r.uniform(0, hi))
             return self._lazy_start_pts[path.stem]
         return super()._start_pts(path, duration)
 

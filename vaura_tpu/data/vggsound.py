@@ -21,6 +21,7 @@ from __future__ import annotations
 import csv
 import json
 import logging
+import zlib
 from math import ceil, floor
 from pathlib import Path
 from typing import List, Optional, Sequence
@@ -138,7 +139,9 @@ class VggSoundDataset(Dataset):
                 "(scripts/precompute_codes.py sets it automatically)"
             )
         self.seed = seed
-        self._rng = np.random.default_rng((seed, hash(split) & 0xFFFF))
+        # crc32, not hash(): str hash() is PYTHONHASHSEED-randomized, which
+        # would make the per-split rng stream differ across processes
+        self._rng = np.random.default_rng((seed, zlib.crc32(split.encode())))
         self.audio_transforms = build_transforms(audio_transforms)
         self.video_transforms = build_transforms(video_transforms)
         self.run_additional_checks = run_additional_checks
@@ -195,9 +198,49 @@ class VggSoundDataset(Dataset):
                     f"for any of the {len(files)} {split} clips"
                 )
             self.files = with_codes
+            self._verify_codes_manifest()
         logger.info("%s split: %d files", split, len(self.files))
 
     # -------------------------------------------------------------- #
+    def _crops_seed_dependent(self) -> bool:
+        """Whether this split's crop windows depend on the dataset seed
+        (deterministic train crops do; VggSound eval starts come from the
+        fixed-start CSV and do not). Subclasses with seeded eval starts
+        (GreatestHit) override."""
+        return self.split == "train"
+
+    def _verify_codes_manifest(self) -> None:
+        """Precomputed codes are only aligned with this dataset's crops if
+        the precompute run used the same crop parameters. precompute_codes
+        writes ``codes_meta.<split>.json`` recording them; verify when
+        present (old sidecar dirs without a manifest only get a warning)."""
+        mf = self.codes_dir / f"codes_meta.{self.split}.json"
+        if not mf.exists():
+            logger.warning(
+                "codes_dir=%s: no %s manifest — cannot verify that the "
+                "precompute run used the same seed/video_length as this "
+                "dataset (re-run scripts/precompute_codes.py to write one)",
+                self.codes_dir, mf.name,
+            )
+            return
+        m = json.loads(mf.read_text(encoding="utf-8"))
+        problems = []
+        if abs(float(m.get("video_len", self.video_len)) - self.video_len) > 1e-6:
+            problems.append(
+                f"video_length {m.get('video_len')} != {self.video_len}"
+            )
+        if self._crops_seed_dependent() and int(m.get("seed", self.seed)) != int(
+            self.seed
+        ):
+            problems.append(f"seed {m.get('seed')} != {self.seed}")
+        if problems:
+            raise ValueError(
+                f"codes_dir {self.codes_dir} was precomputed with different "
+                f"crop parameters ({'; '.join(problems)}); the sidecar codes "
+                "would silently pair with the wrong audio/frames — re-run "
+                "scripts/precompute_codes.py with this config"
+            )
+
     @staticmethod
     def _split_prefix(split_dir_path: Path) -> str:
         """Split files are ``{prefix}_{split}.txt`` (reference
@@ -299,8 +342,6 @@ class VggSoundDataset(Dataset):
                 # stable per-clip crop (process-independent: crc32, not
                 # hash()) so precomputed codes and training see the same
                 # frames/audio window every epoch
-                import zlib
-
                 r = np.random.default_rng(
                     (self.seed, zlib.crc32(path.stem.encode()))
                 )

@@ -420,7 +420,8 @@ def convert_vaura_checkpoint(
         out["dac"] = convert_dac_state_dict(dac_sd, n_codebooks=num_codebooks)
     enc_sd = sub("visual_feature_extractor.")
     if enc_sd:
+        # depth=None lets the callee run its own blocks.-key inference
         out["encoder"] = convert_motionformer_state_dict(
-            enc_sd, depth=encoder_depth or _max_index(enc_sd, "blocks.")
+            enc_sd, depth=encoder_depth
         )
     return out

@@ -724,11 +724,19 @@ class VauraSystem:
         import math as _math
 
         frame_rate = 86  # codec tokens/s (reference generate.py:30)
+        from vaura_tpu.utils import cached_jit
+
         if vis_feats_segments is None:
             assert self.encoder is not None and frames is not None
-            vis_feats_segments, _ = self.encoder.apply(
-                {"params": params["encoder"]}, frames, train=False
-            )  # [B, S_total, t, D]
+            # jitted + cached: the un-jitted ViT pass over all segments
+            # dispatches op-by-op on a remote device (CLAUDE.md rule)
+            enc_fn = cached_jit(
+                self, "_long_enc_jit", frames.shape,
+                lambda p, f: self.encoder.apply(
+                    {"params": p["encoder"]}, f, train=False
+                )[0],
+            )
+            vis_feats_segments = enc_fn(params, frames)  # [B, S_total, t, D]
         B, S_total, t_seg, D = vis_feats_segments.shape
 
         all_tokens = []
@@ -753,10 +761,6 @@ class VauraSystem:
             # cached: steady-state chunks share shapes, so the whole loop
             # compiles exactly two graphs (first chunk, carry chunk) and
             # later calls/batches hit this cache (keyed per shape tuple)
-            cache = getattr(self, "_chunk_jit_cache", None)
-            if cache is None:
-                cache = {}
-                object.__setattr__(self, "_chunk_jit_cache", cache)
             chunk_sampling = dict(sampling)
             chunk_sampling["decode_buckets"] = decode_buckets
             check = bool(chunk_sampling.pop("check", False))
@@ -767,24 +771,26 @@ class VauraSystem:
                 tokens_per_frame,
                 tuple(sorted(chunk_sampling.items())),
             )
-            if key not in cache:
-                has_prompt = prompt is not None
+            has_prompt = prompt is not None
 
-                def _chunk(params, sel, prompt, rng,
-                           _n=chunk_duration_tokens, _hp=has_prompt,
-                           _sampling=chunk_sampling):
-                    return self.generate(
-                        params, None, rng,
-                        vis_feats=sel,
-                        audio_prompt_codes=prompt if _hp else None,
-                        max_new_tokens=_n,
-                        tokens_per_frame=tokens_per_frame,
-                        decode_to_audio=False,
-                        **_sampling,
-                    )["codes"]
+            def _chunk(params, sel, prompt, rng,
+                       _n=chunk_duration_tokens, _hp=has_prompt,
+                       _sampling=chunk_sampling):
+                return self.generate(
+                    params, None, rng,
+                    vis_feats=sel,
+                    audio_prompt_codes=prompt if _hp else None,
+                    max_new_tokens=_n,
+                    tokens_per_frame=tokens_per_frame,
+                    decode_to_audio=False,
+                    **_sampling,
+                )["codes"]
 
-                cache[key] = jax.jit(_chunk)
-            gen_tokens = cache[key](params, sel, prompt, chunk_rng)
+            from vaura_tpu.utils import cached_jit
+
+            gen_tokens = cached_jit(self, "_chunk_jit_cache", key, _chunk)(
+                params, sel, prompt, chunk_rng
+            )
             if check:
                 c = np.asarray(gen_tokens)
                 assert (c >= 0).all() and (c <= self.special_token_id).all()
@@ -802,7 +808,11 @@ class VauraSystem:
         codes = jnp.concatenate(all_tokens, axis=-1)[..., :total_tokens]
         result: Dict[str, jax.Array] = {"codes": codes}
         if decode_to_audio:
-            result["audio"] = self.decode_audio(
-                params, codes, chunk_size=dac_chunk_size
+            dac_fn = cached_jit(
+                self, "_long_dac_jit", (codes.shape, dac_chunk_size),
+                lambda p, c, _cs=dac_chunk_size: self.decode_audio(
+                    p, c, chunk_size=_cs
+                ),
             )
+            result["audio"] = dac_fn(params, codes)
         return result

@@ -35,6 +35,7 @@ from vaura_tpu.train.steps import (
     make_train_step,
     split_params,
 )
+from vaura_tpu.utils import cached_jit
 from vaura_tpu.utils.tb import TBLogger
 
 logger = logging.getLogger(__name__)
@@ -317,22 +318,17 @@ class Trainer:
                 sub_audio.shape,
                 None if sub_frames is None else sub_frames.shape,
             )
-            fn = getattr(self, "_tracked_jit", {}).get(shapes)
-            if fn is None:
-                has_frames = sub_frames is not None
+            has_frames = sub_frames is not None
 
-                def fn(params, frames, audio, _hf=has_frames):
-                    _, aux = self.system.train_forward(
-                        params, frames if _hf else None, audio,
-                        jax.random.PRNGKey(0), train=False,
-                    )
-                    tokens = jnp.argmax(aux["logits"], axis=-1)
-                    return self.system.decode_audio(params, tokens)
+            def _tracked_fwd(params, frames, audio, _hf=has_frames):
+                _, aux = self.system.train_forward(
+                    params, frames if _hf else None, audio,
+                    jax.random.PRNGKey(0), train=False,
+                )
+                tokens = jnp.argmax(aux["logits"], axis=-1)
+                return self.system.decode_audio(params, tokens)
 
-                fn = jax.jit(fn)
-                if not hasattr(self, "_tracked_jit"):
-                    self._tracked_jit = {}
-                self._tracked_jit[shapes] = fn
+            fn = cached_jit(self, "_tracked_jit", shapes, _tracked_fwd)
             wav = np.clip(
                 np.asarray(fn(params, sub_frames, sub_audio), np.float32),
                 -1, 1,
@@ -364,20 +360,15 @@ class Trainer:
         # jit once (cached on self; same predict sample shape every epoch)
         # so the epoch-interval sample doesn't run the encoder/DAC ops
         # eagerly on a remote device
-        key = (frames.shape, n_tokens)
-        fn = getattr(self, "_predict_gen_jit", {}).get(key)
-        if fn is None:
+        def _predict_gen(params, frames, rng, _n=n_tokens):
+            return self.system.generate(
+                params, frames, rng,
+                max_new_tokens=_n, top_k=128, decode_to_audio=True,
+            )
 
-            def fn(params, frames, rng, _n=n_tokens):
-                return self.system.generate(
-                    params, frames, rng,
-                    max_new_tokens=_n, top_k=128, decode_to_audio=True,
-                )
-
-            fn = jax.jit(fn)
-            if not hasattr(self, "_predict_gen_jit"):
-                self._predict_gen_jit = {}
-            self._predict_gen_jit[key] = fn
+        fn = cached_jit(
+            self, "_predict_gen_jit", (frames.shape, n_tokens), _predict_gen
+        )
         out = fn(params, jax.numpy.asarray(frames), rng)
         audio = np.clip(np.asarray(out["audio"], np.float32), -1, 1)
         sr = self.system.dac_config.sample_rate
@@ -414,26 +405,21 @@ class Trainer:
                 seq, _, _ = pattern.build_pattern_sequence(
                     codes[:, :, :-1], self.system.special_token_id
                 )
-                akey = (seq.shape, frames.shape)
-                afn = getattr(self, "_attn_jit", {}).get(akey)
-                if afn is None:
+                def _attn_fwd(params, frames, seq):
+                    vis_feats = self.system.visual_features(
+                        params, frames, train=False
+                    )
+                    return self.system.sampler.apply(
+                        {"params": params["sampler"]},
+                        seq,
+                        vis_feats,
+                        False,
+                        mutable=["intermediates"],
+                    )
 
-                    def afn(params, frames, seq):
-                        vis_feats = self.system.visual_features(
-                            params, frames, train=False
-                        )
-                        return self.system.sampler.apply(
-                            {"params": params["sampler"]},
-                            seq,
-                            vis_feats,
-                            False,
-                            mutable=["intermediates"],
-                        )
-
-                    afn = jax.jit(afn)
-                    if not hasattr(self, "_attn_jit"):
-                        self._attn_jit = {}
-                    self._attn_jit[akey] = afn
+                afn = cached_jit(
+                    self, "_attn_jit", (seq.shape, frames.shape), _attn_fwd
+                )
                 _, inter = afn(
                     params, jax.numpy.asarray(frames), seq
                 )
