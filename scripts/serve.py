@@ -26,6 +26,8 @@ Usage::
     python scripts/serve.py config=CONFIG.yaml [experiment_path=...]
         [port=8800] [batch=8] [duration=2.56] [quantize=true]
         [trainer.platform=cpu]
+        [aot_export=PATH]   # write a jax.export StableHLO serving graph
+        [aot_load=PATH]     # serve from one (skips the startup trace)
 """
 
 from __future__ import annotations
@@ -161,10 +163,32 @@ class GenerationService:
         self.params = params
         self.cond_dim = self.system.sampler_config.cond_in_dim
         self.sample_rate = self.system.dac_config.sample_rate
-        self._rng = rng
+        self._next_seed = int(cfg.get("seed", 0))
         self._jax = jax
         self._q: "queue.Queue" = queue.Queue()
         self._worker = threading.Thread(target=self._loop, daemon=True)
+        # AOT serving graph (vaura_tpu.utils.aot): `aot_load` replaces the
+        # startup jit trace+lower with a deserialized StableHLO artifact
+        # (model code/config no longer shape the graph); `aot_export`
+        # writes one after warmup for the next deploy.
+        self.aot_export = cfg.get("aot_export")
+        self._aot = None
+        aot_load = cfg.get("aot_load")
+        if aot_load:
+            from vaura_tpu.utils.aot import load_generate
+
+            fn, meta = load_generate(aot_load)
+            for key, want in (("batch", self.batch), ("tv", self.tv),
+                              ("cond_dim", self.cond_dim)):
+                got = meta.get(key)
+                if got is not None and int(got) != int(want):
+                    raise ValueError(
+                        f"aot_load artifact {key}={got} does not match "
+                        f"server {key}={want} (re-export with this config)"
+                    )
+            self._aot = fn
+            logger.info("loaded AOT generation graph %s (%s)",
+                        aot_load, meta.get("platforms"))
 
     # ------------------------------------------------------------------ #
     def _int8_agreement_probe(
@@ -218,38 +242,55 @@ class GenerationService:
 
     def start(self):
         self._warmup()
+        if self.aot_export:
+            from vaura_tpu.utils.aot import export_generate
+
+            meta = export_generate(
+                self.system, self.params,
+                batch=self.batch, tv=self.tv,
+                max_new_tokens=self.tokens,
+                sampling=self.sampling,
+                path=self.aot_export,
+            )
+            logger.info("exported AOT generation graph to %s (%s)",
+                        self.aot_export, meta["platforms"])
         self._worker.start()
 
-    def _generate(self, feats, rng):
-        # One jitted graph for the whole request pipeline. Without the
-        # jit wrapper only the decode scans execute compiled (lax.scan is
-        # compiled even eagerly); the prefill/embed/DAC-decode ops would
-        # dispatch one-by-one — measured 21 s vs 0.9 s per 8-batch on the
-        # tunneled v5e.
-        gen = getattr(self, "_gen_jit", None)
-        if gen is None:
-            import jax
+    def _generate(self, feats, seed: int):
+        # One compiled graph for the whole request pipeline. Without it
+        # only the decode scans execute compiled (lax.scan is compiled
+        # even eagerly); the prefill/embed/DAC-decode ops would dispatch
+        # one-by-one — measured 21 s vs 0.9 s per 8-batch on the tunneled
+        # v5e. The rng key is built inside the graph from the seed scalar
+        # so the jit and AOT paths are bit-identical.
+        if self._aot is not None:
+            audio, codes = self._aot(
+                self.params, feats, np.int32(seed)
+            )
+            return {"audio": audio, "codes": codes}
+        import jax
 
-            def _run(params, feats, rng):
-                return self.system.generate(
-                    params, None, rng,
-                    vis_feats=feats,
-                    max_new_tokens=self.tokens,
-                    tokens_per_frame=7,
-                    decode_to_audio=True,
-                    **self.sampling,
-                )
+        from vaura_tpu.utils import cached_jit
 
-            gen = jax.jit(_run)
-            self._gen_jit = gen
-        return gen(self.params, feats, rng)
+        def _run(params, feats, seed):
+            return self.system.generate(
+                params, None, jax.random.PRNGKey(seed),
+                vis_feats=feats,
+                max_new_tokens=self.tokens,
+                tokens_per_frame=7,
+                decode_to_audio=True,
+                **self.sampling,
+            )
+
+        gen = cached_jit(self, "_gen_jit", feats.shape, _run)
+        return gen(self.params, feats, np.int32(seed))
 
     def _warmup(self):
         import jax.numpy as jnp
 
         t0 = time.time()
-        feats = jnp.zeros((self.batch, self.tv, self.cond_dim))
-        out = self._generate(feats, self._jax.random.PRNGKey(0))
+        feats = jnp.zeros((self.batch, self.tv, self.cond_dim), jnp.float32)
+        out = self._generate(feats, 0)
         np.asarray(out["audio"])
         logger.info(
             "compiled generation graph: batch=%d tv=%d duration=%.2fs (%.1fs)",
@@ -336,9 +377,10 @@ class GenerationService:
                 )
                 for i, s in enumerate(slots):
                     feats[i, : s["feats"].shape[0]] = s["feats"]
-                self._rng, sub = self._jax.random.split(self._rng)
+                seed = self._next_seed
+                self._next_seed += 1
                 t0 = time.time()
-                out = self._generate(jnp.asarray(feats), sub)
+                out = self._generate(jnp.asarray(feats), seed)
                 t1 = time.time()
                 audio = np.asarray(out["audio"], np.float32)
                 codes = np.asarray(out["codes"])
