@@ -14,6 +14,11 @@ Endpoints::
                              or    {"video_b64": "<base64 mp4>"}
                              -> WAV bytes (audio/wav)
     POST /generate?raw=codes -> JSON {"codes": [[...]]} (token output)
+    POST /generate_long      body: {"features_segments": [[...] x t] x S}
+                             or .npy bytes [S, t, cond_dim]
+                             -> live WAV stream (chunks written as they
+                                decode; stream_duration/stream_stride
+                                server config sets the geometry)
 
 Batching: requests queue up; the worker drains up to ``--batch`` of them
 (or waits ``--max-wait-ms``), pads the batch, runs the single compiled
@@ -82,6 +87,21 @@ class GenerationService:
         # and block the first real request on a cold remote compile.
         self.tv = max(1, int(self.duration * 25.0) // 16) * 8
         self.max_wait_s = float(cfg.get("max_wait_ms", 20)) / 1e3
+        # long-horizon streaming (/generate_long): fixed stream geometry so
+        # the chunk graphs compile once (first request; steady-state chunks
+        # share shapes -> two decode graphs total)
+        self.stream_tokens = int(
+            cfg.get("stream_tokens")
+            or float(cfg.get("stream_duration", 10.24)) * 86
+        )
+        self.stream_stride_tokens = int(
+            cfg.get("stream_stride_tokens")
+            or float(cfg.get("stream_stride", 0.64)) * 86
+        )
+        self.stream_max_tokens = int(cfg.get("stream_max_tokens", 221))
+        self.stream_segments = max(
+            1, int(cfg.get("stream_duration", 10.24) * 25.0) // 16
+        )
         self.sampling = dict(
             use_sampling=bool(cfg.get("use_sampling", True)),
             temp=float(cfg.get("temperature", 1.0)),
@@ -357,20 +377,88 @@ class GenerationService:
             raise RuntimeError(slot["error"])
         return slot["result"]
 
+    def submit_stream(self, feats_segments: np.ndarray, writer) -> None:
+        """Enqueue one streaming long-generation request; ``writer`` is
+        called from the worker thread with a float32 waveform increment
+        ``[n_samples]`` per chunk, as soon as that chunk is decoded.
+        Blocks until the stream completes. ``feats_segments``:
+        ``[S_total, t, cond_dim]`` per-segment visual features."""
+        want = (self.stream_segments, feats_segments.shape[1], self.cond_dim)
+        if feats_segments.shape != want:
+            raise ValueError(
+                f"stream features must be [{want[0]}, t, {want[2]}] "
+                f"(server stream_duration geometry); got "
+                f"{tuple(feats_segments.shape)}"
+            )
+        done = threading.Event()
+        slot: dict = {
+            "stream": True, "feats": feats_segments, "writer": writer,
+            "done": done,
+        }
+        self._q.put(slot)
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+
+    def _run_stream(self, slot: dict) -> None:
+        """Run one streaming request exclusively (B=1): chunks of
+        ``generate_long_stream`` are written out as they decode, so the
+        client hears audio at one-chunk latency while later chunks are
+        still generating."""
+        import jax
+        import jax.numpy as jnp
+
+        try:
+            seed = self._next_seed
+            self._next_seed += 1
+            t0 = time.time()
+            n = 0
+            for chunk in self.system.generate_long_stream(
+                self.params, None, jax.random.PRNGKey(seed),
+                total_tokens=self.stream_tokens,
+                stride_tokens=self.stream_stride_tokens,
+                model_max_tokens=self.stream_max_tokens,
+                vis_feats_segments=jnp.asarray(slot["feats"])[None],
+                **self.sampling,
+            ):
+                audio = np.asarray(chunk["audio"], np.float32)[0]
+                if audio.size:
+                    slot["writer"](audio)
+                n += 1
+            logger.info(
+                "stream done: %d chunks, %d tokens, %.2fs",
+                n, self.stream_tokens, time.time() - t0,
+            )
+        except Exception as e:
+            logger.exception("stream failed")
+            slot["error"] = str(e)
+        finally:
+            slot["done"].set()
+
     def _loop(self):
         import jax.numpy as jnp
 
+        held = None  # a stream slot pulled while filling a batch
         while True:
-            slots = [self._q.get()]
+            first = held if held is not None else self._q.get()
+            held = None
+            if first.get("stream"):
+                self._run_stream(first)
+                continue
+            slots = [first]
             deadline = time.time() + self.max_wait_s
             while len(slots) < self.batch:
                 timeout = deadline - time.time()
                 if timeout <= 0:
                     break
                 try:
-                    slots.append(self._q.get(timeout=timeout))
+                    s = self._q.get(timeout=timeout)
                 except queue.Empty:
                     break
+                if s.get("stream"):
+                    held = s  # run after this batch, keep TPU exclusive
+                    break
+                slots.append(s)
             try:
                 feats = np.zeros(
                     (self.batch, self.tv, self.cond_dim), np.float32
@@ -428,6 +516,9 @@ def make_handler(service: GenerationService):
                 self._reply(404, b'{"error": "not found"}')
 
         def do_POST(self):
+            if self.path.startswith("/generate_long"):
+                self._do_stream()
+                return
             if not self.path.startswith("/generate"):
                 self._reply(404, b'{"error": "not found"}')
                 return
@@ -476,6 +567,60 @@ def make_handler(service: GenerationService):
                     self._reply(200, buf.getvalue(), "audio/wav")
             except Exception as e:
                 self._reply(400, json.dumps({"error": str(e)}).encode())
+
+        def _do_stream(self):
+            """POST /generate_long — long-horizon generation streamed as a
+            live WAV (unknown-length RIFF header + PCM increments, close-
+            delimited): the client hears the first chunk while later
+            chunks are still decoding. Body: .npy bytes (octet-stream) or
+            JSON {"features_segments": ...} of [S_total, t, cond_dim]
+            per-segment visual features."""
+            from vaura_tpu.ops.audio import pcm16, wav_stream_header
+
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                if ctype == "application/octet-stream":
+                    feats = np.load(io.BytesIO(body), allow_pickle=False)
+                else:
+                    feats = np.asarray(
+                        json.loads(body or b"{}")["features_segments"]
+                    )
+                feats = np.asarray(feats, np.float32)
+                assert feats.ndim == 3, "features_segments must be 3-D"
+            except Exception as e:
+                self._reply(400, json.dumps({"error": str(e)}).encode())
+                return
+            headers_sent = False
+
+            def write_increment(audio: np.ndarray):
+                nonlocal headers_sent
+                if not headers_sent:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Connection", "close")
+                    self.end_headers()
+                    self.wfile.write(
+                        wav_stream_header(service.sample_rate)
+                    )
+                    headers_sent = True
+                self.wfile.write(pcm16(audio))
+                self.wfile.flush()
+
+            try:
+                service.submit_stream(feats, write_increment)
+                if not headers_sent:  # zero-length stream edge case
+                    write_increment(np.zeros((0,), np.float32))
+                self.close_connection = True
+            except Exception as e:
+                if headers_sent:
+                    # mid-stream failure: the status line is gone; all we
+                    # can do is cut the close-delimited stream short
+                    logger.error("stream aborted mid-response: %s", e)
+                    self.close_connection = True
+                else:
+                    self._reply(400, json.dumps({"error": str(e)}).encode())
 
     return Handler
 

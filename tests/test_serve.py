@@ -30,7 +30,12 @@ def server():
             base_dir=REPO,
         )
     )
-    cfg.update(batch=2, duration=0.15, top_k=8, max_wait_ms=50)
+    cfg.update(
+        batch=2, duration=0.15, top_k=8, max_wait_ms=50,
+        # tiny long-stream geometry (3 chunks within the 64-token block)
+        stream_duration=0.6, stream_tokens=60, stream_stride_tokens=20,
+        stream_max_tokens=30,
+    )
     service = GenerationService(cfg)
     service.start()
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
@@ -145,6 +150,53 @@ def test_binary_npy_request(server):
     np.save(bad, np.zeros((4, 7), np.float32))
     req = urllib.request.Request(
         base + "/generate", data=bad.getvalue(),
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+
+
+def test_generate_long_streams_wav_increments(server):
+    """POST /generate_long returns a live WAV: unknown-length RIFF header
+    then PCM increments per decoded chunk, close-delimited; total samples
+    match the server's stream geometry, and a concurrent short request
+    (exercising the worker's stream-exclusive hold) still completes."""
+    import concurrent.futures
+
+    base, service = server
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((1, 8, service.cond_dim)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, feats)
+    req = urllib.request.Request(
+        base + "/generate_long", data=buf.getvalue(),
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    short = rng.standard_normal((4, service.cond_dim)).astype(np.float32)
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        f_stream = ex.submit(lambda: urllib.request.urlopen(req, timeout=600))
+        f_short = ex.submit(_post, base, "/generate", {"features": short.tolist()})
+        resp = f_stream.result(600)
+        header = resp.read(44)
+        assert header[:4] == b"RIFF" and header[8:12] == b"WAVE"
+        assert header[36:40] == b"data"
+        pcm = resp.read()
+        wav_bytes = f_short.result(600)
+    with wave.open(io.BytesIO(wav_bytes)) as w:
+        assert w.getnframes() > 0  # short path survived the stream
+    hop = service.system.dac_config.hop_length
+    assert len(pcm) // 2 == service.stream_tokens * hop
+    audio = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32767.0
+    assert np.abs(audio).max() <= 1.0 and np.abs(audio).max() > 0
+
+
+def test_generate_long_rejects_bad_geometry(server):
+    base, service = server
+    bad = io.BytesIO()
+    np.save(bad, np.zeros((3, 8, service.cond_dim), np.float32))  # S != 1
+    req = urllib.request.Request(
+        base + "/generate_long", data=bad.getvalue(),
         headers={"Content-Type": "application/octet-stream"},
     )
     with pytest.raises(urllib.error.HTTPError) as e:

@@ -70,6 +70,32 @@ class DacConfig:
     def frame_rate(self) -> float:
         return self.sample_rate / self.hop_length
 
+    @property
+    def decoder_receptive_field_frames(self) -> int:
+        """Half receptive field of the decoder in LATENT frames — how many
+        context frames a windowed decode needs on each side for its
+        interior samples to equal a full decode's (streaming emit margin,
+        ``VauraSystem.generate_long_stream``). Analytic walk of the
+        decoder stack; exactness at this margin is locked by
+        ``tests/test_stream.py``.
+
+        Per level with stride ``s`` at cumulative upsampling ``f``:
+        ConvTranspose(k=2s, p=ceil(s/2)) spreads an input's influence at
+        most ``1.5s - 1`` output positions from its center; the three
+        residual units' dilated k=7 convs add ``3*(1+3+9) = 39``; both
+        measured in post-upsample positions, i.e. ``1/f`` frames each.
+        Flagship (8,8,4,2): ~11 frames (~128 ms). Small-hop test configs
+        have proportionally larger frame RFs.
+        """
+        half = 3.0  # conv_in k=7 pad 3
+        f = 1
+        for s in self.decoder_rates:
+            f *= s
+            half += (1.5 * s - 1.0) / f
+            half += 39.0 / f
+        half += 3.0 / f  # conv_out k=7
+        return math.ceil(half)
+
     def build(self) -> "Dac":
         return Dac(self)
 

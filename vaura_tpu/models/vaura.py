@@ -720,26 +720,87 @@ class VauraSystem:
         at n>=4 (measured: n=1 34.6, n=2 35.4 au-s/s at B=128/10.24 s;
         n=4/8 fail to compile).
         """
+        from vaura_tpu.utils import cached_jit
+
         params = self._resolve_params(params)
+        vis_feats_segments = self._long_encode_segments(
+            params, frames, vis_feats_segments
+        )
+        all_tokens = list(
+            self._long_chunk_tokens(
+                params, rng, vis_feats_segments,
+                total_tokens=total_tokens,
+                stride_tokens=stride_tokens,
+                model_max_tokens=model_max_tokens,
+                vfps=vfps,
+                frames_per_segment=frames_per_segment,
+                tokens_per_frame=tokens_per_frame,
+                decode_buckets=decode_buckets,
+                sampling=sampling,
+            )
+        )
+
+        codes = jnp.concatenate(all_tokens, axis=-1)[..., :total_tokens]
+        result: Dict[str, jax.Array] = {"codes": codes}
+        if decode_to_audio:
+            dac_fn = cached_jit(
+                self, "_long_dac_jit", (codes.shape, dac_chunk_size),
+                lambda p, c, _cs=dac_chunk_size: self.decode_audio(
+                    p, c, chunk_size=_cs
+                ),
+            )
+            result["audio"] = dac_fn(params, codes)
+        return result
+
+    def _long_encode_segments(
+        self,
+        params: Dict[str, Any],
+        frames: Optional[jax.Array],
+        vis_feats_segments: Optional[jax.Array],
+    ) -> jax.Array:
+        """Run the visual encoder ONCE over all long-horizon segments
+        (chunks re-index the cached features; see ``generate_long``)."""
+        from vaura_tpu.utils import cached_jit
+
+        if vis_feats_segments is not None:
+            return vis_feats_segments
+        assert self.encoder is not None and frames is not None
+        # jitted + cached: the un-jitted ViT pass over all segments
+        # dispatches op-by-op on a remote device (CLAUDE.md rule)
+        enc_fn = cached_jit(
+            self, "_long_enc_jit", frames.shape,
+            lambda p, f: self.encoder.apply(
+                {"params": p["encoder"]}, f, train=False
+            )[0],
+        )
+        return enc_fn(params, frames)  # [B, S_total, t, D]
+
+    def _long_chunk_tokens(
+        self,
+        params: Dict[str, Any],
+        rng: jax.Array,
+        vis_feats_segments: jax.Array,
+        *,
+        total_tokens: int,
+        stride_tokens: int,
+        model_max_tokens: int,
+        vfps: float,
+        frames_per_segment: int,
+        tokens_per_frame: int,
+        decode_buckets: int,
+        sampling: Dict[str, Any],
+    ):
+        """Generator over the chunked long-horizon decode: yields the NEW
+        tokens of each chunk (``[B, K, n_new]`` — the carried prompt
+        prefix already stripped). ``generate_long`` consumes it whole;
+        ``generate_long_stream`` yields per-chunk results to the caller
+        as they are generated (reference ``scripts/generate.py:327-370``
+        runs the same sliding window, but offline/batch only)."""
         import math as _math
 
         frame_rate = 86  # codec tokens/s (reference generate.py:30)
-        from vaura_tpu.utils import cached_jit
-
-        if vis_feats_segments is None:
-            assert self.encoder is not None and frames is not None
-            # jitted + cached: the un-jitted ViT pass over all segments
-            # dispatches op-by-op on a remote device (CLAUDE.md rule)
-            enc_fn = cached_jit(
-                self, "_long_enc_jit", frames.shape,
-                lambda p, f: self.encoder.apply(
-                    {"params": p["encoder"]}, f, train=False
-                )[0],
-            )
-            vis_feats_segments = enc_fn(params, frames)  # [B, S_total, t, D]
         B, S_total, t_seg, D = vis_feats_segments.shape
 
-        all_tokens = []
         prompt: Optional[jax.Array] = None
         current = 0
         while current + (0 if prompt is None else prompt.shape[-1]) < total_tokens:
@@ -799,20 +860,99 @@ class VauraSystem:
                         c[..., : prompt.shape[-1]], np.asarray(prompt)
                     )
             if prompt is None:
-                all_tokens.append(gen_tokens)
+                yield gen_tokens
             else:
-                all_tokens.append(gen_tokens[:, :, prompt.shape[-1] :])
+                yield gen_tokens[:, :, prompt.shape[-1] :]
             prompt = gen_tokens[:, :, stride_tokens:]
             current += stride_tokens
 
-        codes = jnp.concatenate(all_tokens, axis=-1)[..., :total_tokens]
-        result: Dict[str, jax.Array] = {"codes": codes}
-        if decode_to_audio:
-            dac_fn = cached_jit(
-                self, "_long_dac_jit", (codes.shape, dac_chunk_size),
-                lambda p, c, _cs=dac_chunk_size: self.decode_audio(
-                    p, c, chunk_size=_cs
-                ),
+    def generate_long_stream(
+        self,
+        params: Dict[str, Any],
+        frames: Optional[jax.Array],  # [B, S_total, C, T, H, W]
+        rng: jax.Array,
+        *,
+        total_tokens: int,
+        stride_tokens: int,
+        model_max_tokens: int = 221,
+        vfps: float = 25.0,
+        frames_per_segment: int = 16,
+        tokens_per_frame: int = 7,
+        vis_feats_segments: Optional[jax.Array] = None,  # [B, S_total, t, D]
+        emit_margin_tokens: Optional[int] = None,
+        decode_buckets: int = 2,
+        **sampling,
+    ):
+        """Streaming ``generate_long``: a generator yielding one dict per
+        chunk as soon as that chunk's tokens exist —
+
+            {"codes":       [B, K, n_new]   new tokens of this chunk,
+             "audio":       [B, n_emit*hop] the next waveform increment,
+             "token_start": int             token index of audio[..., 0]}
+
+        so a client hears audio while later chunks are still decoding
+        (first-sound latency = one chunk instead of the full clip). The
+        reference's long-horizon path (``scripts/generate.py:327-370``)
+        is offline-only; streaming has no counterpart there.
+
+        The audio increments concatenate EXACTLY to ``generate_long``'s
+        one-shot waveform: each increment is cut from a windowed DAC
+        decode with ``emit_margin_tokens`` context frames on both sides
+        (default: the decoder's analytic receptive field,
+        ``DacConfig.decoder_receptive_field_frames`` — ~11 frames /
+        ~128 ms for the flagship codec), so interior samples of the
+        windowed decode equal the full decode's; exactness at the
+        default margin is locked by ``tests/test_stream.py``. The final
+        chunk flushes the right-margin holdback.
+        """
+        params = self._resolve_params(params)
+        vis_feats_segments = self._long_encode_segments(
+            params, frames, vis_feats_segments
+        )
+        from vaura_tpu.utils import cached_jit
+
+        if emit_margin_tokens is None:
+            emit_margin_tokens = self.dac_config.decoder_receptive_field_frames
+        hop = self.dac_config.hop_length
+        chunks = self._long_chunk_tokens(
+            params, rng, vis_feats_segments,
+            total_tokens=total_tokens,
+            stride_tokens=stride_tokens,
+            model_max_tokens=model_max_tokens,
+            vfps=vfps,
+            frames_per_segment=frames_per_segment,
+            tokens_per_frame=tokens_per_frame,
+            decode_buckets=decode_buckets,
+            sampling=sampling,
+        )
+        codes_so_far: Optional[jax.Array] = None
+        emitted = 0
+        new = next(chunks, None)
+        while new is not None:
+            nxt = next(chunks, None)  # lookahead: last chunk flushes all
+            codes_so_far = (
+                new if codes_so_far is None
+                else jnp.concatenate([codes_so_far, new], axis=-1)
             )
-            result["audio"] = dac_fn(params, codes)
-        return result
+            over = codes_so_far.shape[-1] - total_tokens
+            if over > 0:  # last chunk overshoots the requested length
+                new = new[..., : new.shape[-1] - over]
+                codes_so_far = codes_so_far[..., :total_tokens]
+            n_known = codes_so_far.shape[-1]
+            emit_to = (
+                n_known if nxt is None
+                else max(emitted, n_known - emit_margin_tokens)
+            )
+            win_lo = max(0, emitted - emit_margin_tokens)
+            window = codes_so_far[..., win_lo:n_known]
+            dec_fn = cached_jit(
+                self, "_stream_dac_jit", window.shape,
+                lambda p, c: self.decode_audio(p, c),
+            )
+            wav = dec_fn(params, window)  # [B, 1, T*hop]
+            audio = wav[
+                ..., (emitted - win_lo) * hop : (emit_to - win_lo) * hop
+            ].reshape(wav.shape[0], -1)
+            yield {"codes": new, "audio": audio, "token_start": emitted}
+            emitted = emit_to
+            new = nxt

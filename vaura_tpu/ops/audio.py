@@ -182,6 +182,38 @@ def write_wav(path, wav: np.ndarray, sample_rate: int) -> None:
         f.writeframes(pcm.T.tobytes())
 
 
+def wav_stream_header(sample_rate: int, channels: int = 1) -> bytes:
+    """RIFF/WAVE header for a 16-bit PCM stream of UNKNOWN length: the
+    RIFF and data chunk sizes are 0xFFFFFFFF — the convention players and
+    ffmpeg accept for live WAV streams (a finite WAV's sizes are patched
+    after the fact; a socket can't seek back). Append :func:`pcm16`
+    frames after it (serving surface: ``scripts/serve.py /generate_long``)."""
+    import struct
+
+    byte_rate = sample_rate * channels * 2
+    return b"".join(
+        [
+            b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+            b"fmt ", struct.pack(
+                "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate,
+                channels * 2, 16,
+            ),
+            b"data", struct.pack("<I", 0xFFFFFFFF),
+        ]
+    )
+
+
+def pcm16(wav: np.ndarray) -> bytes:
+    """float [-1, 1] ``[T]`` or ``[C, T]`` -> interleaved little-endian
+    int16 bytes (the sample encoding of :func:`write_wav`, without the
+    container — for streaming after :func:`wav_stream_header`)."""
+    wav = np.asarray(wav)
+    if wav.ndim == 1:
+        wav = wav[None]
+    pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2")
+    return pcm.T.tobytes()
+
+
 def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     with wave.open(str(path), "rb") as f:
         sr = f.getframerate()
