@@ -94,6 +94,10 @@ def test_stream_matches_generate_long(tiny_system):
         sys_.generate_long_stream(params, None, jax.random.PRNGKey(3), **kw)
     )
     assert len(chunks) >= 2  # actually streamed in pieces
+    # the published schedule predicts every increment's token count
+    assert [np.asarray(c["codes"]).shape[-1] for c in chunks] == (
+        sys_.long_chunk_schedule(72, 24, 36)
+    )
 
     codes = np.concatenate([np.asarray(c["codes"]) for c in chunks], axis=-1)
     np.testing.assert_array_equal(codes, np.asarray(one["codes"]))

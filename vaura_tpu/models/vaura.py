@@ -775,6 +775,25 @@ class VauraSystem:
         )
         return enc_fn(params, frames)  # [B, S_total, t, D]
 
+    @staticmethod
+    def long_chunk_schedule(
+        total_tokens: int, stride_tokens: int, model_max_tokens: int
+    ) -> list:
+        """NEW tokens produced by each long-horizon chunk — the pure
+        arithmetic of ``_long_chunk_tokens``'s sliding window, computable
+        before any model work (used by the streaming path to know the
+        last chunk WITHOUT generating one chunk ahead, and by clients to
+        predict increment sizes). Invariant: ``sum == total_tokens``."""
+        sizes = []
+        prompt_len = current = 0
+        while current + prompt_len < total_tokens:
+            n = min(total_tokens - current, model_max_tokens)
+            sizes.append(n - prompt_len)
+            prompt_len = max(0, n - stride_tokens)
+            current += stride_tokens
+        assert sum(sizes) == total_tokens
+        return sizes
+
     def _long_chunk_tokens(
         self,
         params: Dict[str, Any],
@@ -925,22 +944,22 @@ class VauraSystem:
             decode_buckets=decode_buckets,
             sampling=sampling,
         )
+        n_chunks = len(
+            self.long_chunk_schedule(
+                total_tokens, stride_tokens, model_max_tokens
+            )
+        )
         codes_so_far: Optional[jax.Array] = None
         emitted = 0
-        new = next(chunks, None)
-        while new is not None:
-            nxt = next(chunks, None)  # lookahead: last chunk flushes all
+        for i, new in enumerate(chunks):
+            last = i == n_chunks - 1
             codes_so_far = (
                 new if codes_so_far is None
                 else jnp.concatenate([codes_so_far, new], axis=-1)
             )
-            over = codes_so_far.shape[-1] - total_tokens
-            if over > 0:  # last chunk overshoots the requested length
-                new = new[..., : new.shape[-1] - over]
-                codes_so_far = codes_so_far[..., :total_tokens]
             n_known = codes_so_far.shape[-1]
             emit_to = (
-                n_known if nxt is None
+                n_known if last
                 else max(emitted, n_known - emit_margin_tokens)
             )
             win_lo = max(0, emitted - emit_margin_tokens)
@@ -955,4 +974,3 @@ class VauraSystem:
             ].reshape(wav.shape[0], -1)
             yield {"codes": new, "audio": audio, "token_start": emitted}
             emitted = emit_to
-            new = nxt
