@@ -181,6 +181,44 @@ class GenerationService:
                     "(quantize_min_agreement=0); skipping probe"
                 )
         self.params = params
+        # multi-chip serving: shard the compiled batch over a data mesh,
+        # params placed by the same partitioning rules as training (fsdp/
+        # model axes are 1 here -> replicated; raise them via trainer.mesh
+        # for models that don't fit one chip). Mirrors the generate
+        # action's multi-chip path (scripts/generate.py:205-225).
+        self._batch_sharding = None
+        mesh_cfg = dict((cfg.get("trainer") or {}).get("mesh") or {})
+        if (
+            jax.device_count() > 1
+            and bool(cfg.get("mesh_serving", True))
+            and self.batch % jax.device_count() == 0
+        ):
+            from vaura_tpu.parallel.mesh import (
+                batch_sharding as _bs,
+                make_mesh,
+                replicated,
+            )
+            from vaura_tpu.parallel.partitioning import shard_params
+
+            mesh = make_mesh(
+                data=int(mesh_cfg.get("data", -1)),
+                fsdp=int(mesh_cfg.get("fsdp", 1)),
+                model=int(mesh_cfg.get("model", 1)),
+            )
+            self._batch_sharding = _bs(mesh)
+            self._replicated = replicated(mesh)
+            self.params = shard_params(mesh, self.params)
+            if cfg.get("aot_export") or cfg.get("aot_load"):
+                raise ValueError(
+                    "aot_export/aot_load and mesh serving are mutually "
+                    "exclusive (exported artifacts are single-device); "
+                    "set mesh_serving=false to use AOT graphs"
+                )
+            logger.info(
+                "serving batch %d sharded over %d devices (mesh %s)",
+                self.batch, jax.device_count(),
+                dict(zip(mesh.axis_names, mesh.devices.shape)),
+            )
         self.cond_dim = self.system.sampler_config.cond_in_dim
         self.sample_rate = self.system.dac_config.sample_rate
         self._next_seed = int(cfg.get("seed", 0))
@@ -305,11 +343,19 @@ class GenerationService:
         gen = cached_jit(self, "_gen_jit", feats.shape, _run)
         return gen(self.params, feats, np.int32(seed))
 
-    def _warmup(self):
+    def _put_batch(self, feats):
+        import jax
         import jax.numpy as jnp
 
+        if self._batch_sharding is not None:
+            return jax.device_put(np.asarray(feats), self._batch_sharding)
+        return jnp.asarray(feats)
+
+    def _warmup(self):
         t0 = time.time()
-        feats = jnp.zeros((self.batch, self.tv, self.cond_dim), jnp.float32)
+        feats = self._put_batch(
+            np.zeros((self.batch, self.tv, self.cond_dim), np.float32)
+        )
         out = self._generate(feats, 0)
         np.asarray(out["audio"])
         logger.info(
@@ -413,12 +459,16 @@ class GenerationService:
             self._next_seed += 1
             t0 = time.time()
             n = 0
+            feats = jnp.asarray(slot["feats"])[None]
+            if self._batch_sharding is not None:
+                # B=1 streams can't split on the data axis: replicate
+                feats = jax.device_put(feats, self._replicated)
             for chunk in self.system.generate_long_stream(
                 self.params, None, jax.random.PRNGKey(seed),
                 total_tokens=self.stream_tokens,
                 stride_tokens=self.stream_stride_tokens,
                 model_max_tokens=self.stream_max_tokens,
-                vis_feats_segments=jnp.asarray(slot["feats"])[None],
+                vis_feats_segments=feats,
                 **self.sampling,
             ):
                 audio = np.asarray(chunk["audio"], np.float32)[0]
@@ -468,7 +518,7 @@ class GenerationService:
                 seed = self._next_seed
                 self._next_seed += 1
                 t0 = time.time()
-                out = self._generate(jnp.asarray(feats), seed)
+                out = self._generate(self._put_batch(feats), seed)
                 t1 = time.time()
                 audio = np.asarray(out["audio"], np.float32)
                 codes = np.asarray(out["codes"])

@@ -202,3 +202,37 @@ def test_generate_long_rejects_bad_geometry(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_mesh_sharded_serving():
+    """With >1 device and batch %% devices == 0 the service shards the
+    compiled batch over the data mesh (8 virtual CPU devices from
+    conftest), places params by the training partitioning rules, and
+    serves the same request contract as single-chip."""
+    import jax
+
+    from scripts.serve import GenerationService
+    from vaura_tpu.config import assemble_config
+
+    assert jax.device_count() == 8
+    cfg = dict(
+        assemble_config(
+            [f"config={REPO / 'configs/experiments/dummy.yaml'}"],
+            defaults_path=REPO / "configs" / "vaura_defaults.yaml",
+            base_dir=REPO,
+        )
+    )
+    cfg.update(batch=8, duration=0.15, top_k=8, max_wait_ms=10)
+    svc = GenerationService(cfg)
+    assert svc._batch_sharding is not None
+    svc.start()
+    feats = np.random.default_rng(7).standard_normal(
+        (4, svc.cond_dim)
+    ).astype(np.float32)
+    codes = svc.submit(feats, want="codes")
+    assert codes.shape[0] == svc.system.num_codebooks
+    assert (codes >= 0).all() and (codes <= svc.system.special_token_id).all()
+
+    # AOT artifacts are single-device: the combination is refused early
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        GenerationService({**cfg, "aot_load": "nope.jaxexport"})
