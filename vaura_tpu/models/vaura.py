@@ -962,15 +962,18 @@ class VauraSystem:
                 n_known if last
                 else max(emitted, n_known - emit_margin_tokens)
             )
-            win_lo = max(0, emitted - emit_margin_tokens)
-            window = codes_so_far[..., win_lo:n_known]
-            dec_fn = cached_jit(
-                self, "_stream_dac_jit", window.shape,
-                lambda p, c: self.decode_audio(p, c),
-            )
-            wav = dec_fn(params, window)  # [B, 1, T*hop]
-            audio = wav[
-                ..., (emitted - win_lo) * hop : (emit_to - win_lo) * hop
-            ].reshape(wav.shape[0], -1)
+            if emit_to > emitted:
+                win_lo = max(0, emitted - emit_margin_tokens)
+                window = codes_so_far[..., win_lo:n_known]
+                dec_fn = cached_jit(
+                    self, "_stream_dac_jit", window.shape,
+                    lambda p, c: self.decode_audio(p, c),
+                )
+                wav = dec_fn(params, window)  # [B, 1, T*hop]
+                audio = wav[
+                    ..., (emitted - win_lo) * hop : (emit_to - win_lo) * hop
+                ].reshape(wav.shape[0], -1)
+            else:  # margin still swallows everything known: no decode
+                audio = jnp.zeros((codes_so_far.shape[0], 0), jnp.float32)
             yield {"codes": new, "audio": audio, "token_start": emitted}
             emitted = emit_to
