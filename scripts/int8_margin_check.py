@@ -52,6 +52,10 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true",
                     help="2L x 192d smoke config (CPU logic check only — "
                     "margins are NOT representative at this scale)")
+    ap.add_argument("--mid", action="store_true",
+                    help="6L x 512d config: CPU-runnable overfit whose "
+                    "trained margins are a usable proxy when the TPU is "
+                    "unavailable (flagship on v5e remains the headline)")
     ap.add_argument("--cache-bits", type=int, choices=[8, 4], default=8,
                     help="quantized KV-cache width for the comparison arm "
                     "(4 = nibble-packed int4; affects rollouts, not the "
@@ -79,6 +83,10 @@ def main() -> None:
             block_size_audio=64,
         )
         args.tokens = min(args.tokens, 48)
+    elif args.mid:
+        sampler_cfg = dataclasses.replace(
+            sampler_cfg, num_layers=6, d_model=512, nhead=8,
+        )
     # codes are synthetic so the codec is never run, but the system wants
     # its config for geometry
     from vaura_tpu.models.dac.model import config_for_sample_rate
