@@ -236,3 +236,28 @@ def test_mesh_sharded_serving():
     # AOT artifacts are single-device: the combination is refused early
     with pytest.raises(ValueError, match="mutually exclusive"):
         GenerationService({**cfg, "aot_load": "nope.jaxexport"})
+
+
+def test_client_library(server, tmp_path):
+    """scripts/client.py drives every endpoint: short WAV, codes, and the
+    long stream (header + increments assemble to the geometry's sample
+    count)."""
+    from scripts import client
+
+    base, service = server
+    info = client.health(base)
+    assert info["status"] == "ok"
+
+    rng = np.random.default_rng(11)
+    feats = rng.standard_normal((4, service.cond_dim)).astype(np.float32)
+    wav_bytes = client.generate(base, feats)
+    with wave.open(io.BytesIO(wav_bytes)) as w:
+        assert w.getnframes() > 0
+    codes = client.generate(base, feats, want="codes")
+    assert codes.shape[0] == service.system.num_codebooks
+
+    seg = rng.standard_normal((1, 8, service.cond_dim)).astype(np.float32)
+    stream = b"".join(client.generate_long_stream(base, seg))
+    assert stream[:4] == b"RIFF"
+    hop = service.system.dac_config.hop_length
+    assert (len(stream) - 44) // 2 == service.stream_tokens * hop
