@@ -36,7 +36,10 @@ def main() -> None:
     # B=128 is the measured single-chip throughput sweet spot (int8 cache
     # ~8.6 GB; B=160 exhausts the 16 GB HBM): 49.1 (B=32) -> 55.2 (64)
     # -> 56.9 (96) -> 58.7 (128) audio-sec/s full pipeline
-    ap.add_argument("--batch", type=int, default=128)
+    # default None -> resolved after parsing: 128 (the measured generate
+    # sweet spot), or 32 under --with-encoder (frames + ViT activations
+    # must fit beside the cache)
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--tokens", type=int, default=221)
     ap.add_argument("--cfg-scale", type=float, default=6.0)
     ap.add_argument("--top-k", type=int, default=128)
@@ -104,6 +107,8 @@ def main() -> None:
                     help="train mode: AdamW first-moment dtype (e.g. "
                          "bfloat16) — halves optimizer-state memory")
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = 32 if args.with_encoder else 128
     if args.decode_buckets is None:
         args.decode_buckets = 2 if args.mode == "long" else 8
 
@@ -120,10 +125,6 @@ def main() -> None:
     from vaura_tpu.models.vaura import VauraSystem
 
     import dataclasses
-    import sys as _sys
-
-    if args.with_encoder and "--batch" not in " ".join(_sys.argv):
-        args.batch = 32  # frames + ViT activations fit beside the cache
 
     sampler_cfg = SamplerConfig()  # flagship config
     if args.layers:

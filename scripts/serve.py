@@ -99,9 +99,15 @@ class GenerationService:
             or float(cfg.get("stream_stride", 0.64)) * 86
         )
         self.stream_max_tokens = int(cfg.get("stream_max_tokens", 221))
-        self.stream_segments = max(
-            1, int(cfg.get("stream_duration", 10.24) * 25.0) // 16
+        # video geometry follows the AUDIO horizon: when stream_tokens is
+        # given without stream_duration the segments must still cover the
+        # generated seconds, or positions%%S_total would silently wrap the
+        # conditioning window (vaura.py _long_chunk_tokens)
+        stream_secs = float(
+            cfg.get("stream_duration") or self.stream_tokens / 86.0
         )
+        self.stream_segments = max(1, int(stream_secs * 25.0) // 16)
+        self.stream_t = int(cfg.get("stream_features_per_segment", 8))
         self.sampling = dict(
             use_sampling=bool(cfg.get("use_sampling", True)),
             temp=float(cfg.get("temperature", 1.0)),
@@ -244,6 +250,17 @@ class GenerationService:
                         f"aot_load artifact {key}={got} does not match "
                         f"server {key}={want} (re-export with this config)"
                     )
+            # sampling is BAKED into the exported graph: a mismatch would
+            # silently serve the artifact's temperature/top_k/cfg, not the
+            # configured ones
+            baked = meta.get("sampling")
+            mine = {k: str(v) for k, v in self.sampling.items()}
+            if baked is not None and baked != mine:
+                raise ValueError(
+                    f"aot_load artifact sampling {baked} does not match "
+                    f"server sampling {mine} (re-export, or start the "
+                    "server with the artifact's sampling config)"
+                )
             self._aot = fn
             logger.info("loaded AOT generation graph %s (%s)",
                         aot_load, meta.get("platforms"))
@@ -380,6 +397,11 @@ class GenerationService:
                 want_audio=False,
             )
         fps = 16  # frames per segment (divided_224_16x4 contract)
+        if frames.shape[0] < fps:
+            raise ValueError(
+                f"video too short: {frames.shape[0]} frames at 25 fps < "
+                f"one {fps}-frame segment (need >= 0.64 s)"
+            )
         n_seg = max(1, frames.shape[0] // fps)
         # read_video already truncates at `duration`, but clamp explicitly:
         # segments beyond the server window would compile a never-again-used
@@ -387,7 +409,10 @@ class GenerationService:
         # reject the features afterwards
         n_seg = min(n_seg, max(1, int((self.duration + 1e-6) / 0.64)))
         frames = frames[: n_seg * fps]
-        x = frames.astype(np.float32) / 255.0
+        # [-1, 1] normalization (mean/std 0.5) — the training/eval/demo
+        # transform contract (configs' video_transforms Normalize);
+        # [0, 1] inputs would condition the encoder off-distribution
+        x = (frames.astype(np.float32) / 255.0 - 0.5) / 0.5
         x = np.transpose(x, (3, 0, 1, 2)).reshape(
             3, n_seg, fps, *frames.shape[1:3]
         ).transpose(1, 0, 2, 3, 4)[None]  # [1, S, C, T, H, W]
@@ -429,12 +454,12 @@ class GenerationService:
         ``[n_samples]`` per chunk, as soon as that chunk is decoded.
         Blocks until the stream completes. ``feats_segments``:
         ``[S_total, t, cond_dim]`` per-segment visual features."""
-        want = (self.stream_segments, feats_segments.shape[1], self.cond_dim)
-        if feats_segments.shape != want:
+        want = (self.stream_segments, self.stream_t, self.cond_dim)
+        if tuple(feats_segments.shape) != want:
             raise ValueError(
-                f"stream features must be [{want[0]}, t, {want[2]}] "
-                f"(server stream_duration geometry); got "
-                f"{tuple(feats_segments.shape)}"
+                f"stream features must be {list(want)} (server "
+                f"stream_duration geometry x features/segment); got "
+                f"{list(feats_segments.shape)}"
             )
         done = threading.Event()
         slot: dict = {

@@ -413,10 +413,21 @@ def loaded_ours(ref_experiment):
     from vaura_tpu.models.factory import build_system
     from vaura_tpu.utils.reference_ckpt import load_reference_experiment
 
+    before = {
+        p: p.read_bytes()
+        for p in Path(ref_experiment["root"]).rglob("hparams*.yaml")
+    }
     model_cfg, ref_params, ckpt_file = load_reference_experiment(
         ref_experiment["root"]
     )
     assert ckpt_file == ref_experiment["best"]
+    # loading must never mutate the experiment tree (read-only mounts,
+    # concurrent runs): hparams patching happens in memory
+    after = {
+        p: p.read_bytes()
+        for p in Path(ref_experiment["root"]).rglob("hparams*.yaml")
+    }
+    assert after == before
     system = build_system(model_cfg, precision="f32")
     params = system.init_params(jax.random.PRNGKey(0))
     params.update({

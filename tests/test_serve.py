@@ -261,3 +261,76 @@ def test_client_library(server, tmp_path):
     assert stream[:4] == b"RIFF"
     hop = service.system.dac_config.hop_length
     assert (len(stream) - 44) // 2 == service.stream_tokens * hop
+
+
+def test_video_b64_request_and_feature_normalization(tmp_path):
+    """The video endpoint runs the visual encoder on [-1, 1]-normalized
+    frames (mean/std 0.5 — the training transform contract; a bare /255
+    scaling conditioned off-distribution), and too-short clips 400."""
+    import base64
+
+    from vaura_tpu.data import media
+
+    if not media.available():
+        pytest.skip("native media module unavailable")
+    import jax.numpy as jnp
+
+    from scripts.serve import GenerationService, make_handler
+    from vaura_tpu.config import assemble_config
+
+    cfg = dict(
+        assemble_config(
+            [f"config={REPO / 'configs/experiments/dummy.yaml'}"],
+            defaults_path=REPO / "configs" / "vaura_defaults.yaml",
+            base_dir=REPO,
+        )
+    )
+    cfg.update(batch=1, duration=0.64, top_k=8, max_wait_ms=10)
+    service = GenerationService(cfg)
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(17, 224, 224, 3), dtype=np.uint8)
+    path = tmp_path / "clip.mp4"
+    media.write_video(path, frames.copy(), fps=25.0)
+    video_bytes = path.read_bytes()
+
+    feats = service.video_to_features(video_bytes)
+    assert feats.shape == (8, service.cond_dim)
+
+    # parity vs the training transform contract on the SAME decoded frames
+    dec, _, _ = media.read_video(
+        str(path), fps=25.0, duration=0.65, want_audio=False
+    )
+    x = (dec[:16].astype(np.float32) / 255.0 - 0.5) / 0.5
+    x = x.transpose(3, 0, 1, 2).reshape(3, 1, 16, 224, 224)
+    x = x.transpose(1, 0, 2, 3, 4)[None]
+    want = np.asarray(
+        service.system.visual_features(service.params, jnp.asarray(x))
+    )[0]
+    # bf16 compute: jitted-vs-eager rounding is ~1e-4; the [0,1]-scaling
+    # bug this pins against shifts features by O(0.1)
+    np.testing.assert_allclose(feats, want, atol=2e-3, rtol=0)
+
+    # HTTP surface: video_b64 -> WAV; short clip -> 400
+    service.start()
+    import threading
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        wav_bytes = _post(
+            base, "/generate",
+            {"video_b64": base64.b64encode(video_bytes).decode()},
+        )
+        with wave.open(io.BytesIO(wav_bytes)) as w:
+            assert w.getnframes() > 0
+        short = tmp_path / "short.mp4"
+        media.write_video(short, frames[:4].copy(), fps=25.0)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base, "/generate",
+                  {"video_b64": base64.b64encode(short.read_bytes()).decode()})
+        assert e.value.code == 400
+        assert "too short" in e.value.read().decode()
+    finally:
+        httpd.shutdown()

@@ -814,18 +814,26 @@ class VauraSystem:
         prefix already stripped). ``generate_long`` consumes it whole;
         ``generate_long_stream`` yields per-chunk results to the caller
         as they are generated (reference ``scripts/generate.py:327-370``
-        runs the same sliding window, but offline/batch only)."""
+        runs the same sliding window, but offline/batch only).
+
+        The sliding-window arithmetic lives in ONE place,
+        :meth:`long_chunk_schedule`; this loop consumes its sizes (so the
+        streaming path's last-chunk flush can never desync from the
+        actual chunk count)."""
         import math as _math
 
         frame_rate = 86  # codec tokens/s (reference generate.py:30)
         B, S_total, t_seg, D = vis_feats_segments.shape
 
+        sizes = self.long_chunk_schedule(
+            total_tokens, stride_tokens, model_max_tokens
+        )
         prompt: Optional[jax.Array] = None
-        current = 0
-        while current + (0 if prompt is None else prompt.shape[-1]) < total_tokens:
+        for i, n_new in enumerate(sizes):
+            current = i * stride_tokens
             time_offset = current / frame_rate
-            chunk_duration_tokens = min(
-                total_tokens - current, model_max_tokens
+            chunk_duration_tokens = n_new + (
+                0 if prompt is None else prompt.shape[-1]
             )
             chunk_duration = chunk_duration_tokens / frame_rate
             initial_position = _math.ceil(time_offset * vfps)
@@ -878,12 +886,13 @@ class VauraSystem:
                     np.testing.assert_array_equal(
                         c[..., : prompt.shape[-1]], np.asarray(prompt)
                     )
-            if prompt is None:
-                yield gen_tokens
-            else:
-                yield gen_tokens[:, :, prompt.shape[-1] :]
+            new = (
+                gen_tokens if prompt is None
+                else gen_tokens[:, :, prompt.shape[-1] :]
+            )
+            assert new.shape[-1] == n_new  # schedule <-> generate contract
+            yield new
             prompt = gen_tokens[:, :, stride_tokens:]
-            current += stride_tokens
 
     def generate_long_stream(
         self,

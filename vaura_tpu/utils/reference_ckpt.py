@@ -167,9 +167,14 @@ def load_reference_experiment(
     hp_path = resolve_hparams_path(ckpt_path, hparams)
     if overridden_hparams is None:
         overridden_hparams = DEFAULT_OVERWRITE_HPARAMS
-    hp_path = override_hparams(hp_path, overridden_hparams)
+    # merge IN MEMORY: loading must never mutate the experiment tree
+    # (read-only mounts, concurrent runs). The reference's on-disk
+    # hparams patching (scripts/generate.py:71-94) stays available as
+    # the explicit :func:`override_hparams`.
     with open(hp_path) as f:
         model_cfg = yaml.safe_load(f)
+    if overridden_hparams:
+        model_cfg = _merge(model_cfg, overridden_hparams)
     logger.info("reference experiment: ckpt=%s hparams=%s", ckpt_path, hp_path)
     params = convert_vaura_checkpoint(str(ckpt_path))
     return model_cfg, params, ckpt_path
