@@ -204,6 +204,7 @@ def test_generate_long_rejects_bad_geometry(server):
     assert e.value.code == 400
 
 
+@pytest.mark.slow
 def test_mesh_sharded_serving():
     """With >1 device and batch %% devices == 0 the service shards the
     compiled batch over the data mesh (8 virtual CPU devices from
@@ -263,6 +264,7 @@ def test_client_library(server, tmp_path):
     assert (len(stream) - 44) // 2 == service.stream_tokens * hop
 
 
+@pytest.mark.slow
 def test_video_b64_request_and_feature_normalization(tmp_path):
     """The video endpoint runs the visual encoder on [-1, 1]-normalized
     frames (mean/std 0.5 — the training transform contract; a bare /255
@@ -334,3 +336,31 @@ def test_video_b64_request_and_feature_normalization(tmp_path):
         assert "too short" in e.value.read().decode()
     finally:
         httpd.shutdown()
+
+
+@pytest.mark.slow
+def test_mesh_sharded_serving_quantized():
+    """int8 weights + KV cache under mesh serving: quantized param trees
+    (w_int8/scale leaves) still get shardings and the decode graph
+    executes across the 8-device mesh."""
+    from scripts.serve import GenerationService
+    from vaura_tpu.config import assemble_config
+
+    cfg = dict(
+        assemble_config(
+            [f"config={REPO / 'configs/experiments/dummy.yaml'}"],
+            defaults_path=REPO / "configs" / "vaura_defaults.yaml",
+            base_dir=REPO,
+        )
+    )
+    cfg.update(batch=8, duration=0.15, top_k=8, max_wait_ms=10,
+               quantize=True)
+    svc = GenerationService(cfg)
+    assert svc._batch_sharding is not None
+    assert svc.system.sampler_config.quantize_weights
+    svc.start()
+    feats = np.random.default_rng(9).standard_normal(
+        (4, svc.cond_dim)
+    ).astype(np.float32)
+    codes = svc.submit(feats, want="codes")
+    assert codes.shape[0] == svc.system.num_codebooks
