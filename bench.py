@@ -106,9 +106,17 @@ def main() -> None:
     ap.add_argument("--mu-dtype", type=str, default=None,
                     help="train mode: AdamW first-moment dtype (e.g. "
                          "bfloat16) — halves optimizer-state memory")
+    ap.add_argument("--compilation-cache-dir", type=str, default=None,
+                    help="persistent XLA compile cache (skips recompiles "
+                    "across bench invocations; off by default so cold "
+                    "numbers stay honest)")
     args = ap.parse_args()
     if args.batch is None:
         args.batch = 32 if args.with_encoder else 128
+    if args.compilation_cache_dir:
+        from vaura_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache_dir)
     if args.decode_buckets is None:
         args.decode_buckets = 2 if args.mode == "long" else 8
 

@@ -53,6 +53,15 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", str(platform))
 
+    # persistent XLA compilation cache: a restarted process loads the
+    # binaries a previous run compiled instead of re-lowering (minutes of
+    # flagship cold compile -> seconds)
+    cache_dir = (cfg.get("trainer") or {}).get("compilation_cache_dir")
+    if cache_dir:
+        from vaura_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache(cache_dir)
+
     # multi-host bootstrap (the reference reads torchrun/SLURM env at
     # main.py:37-45 and defers to Lightning/NCCL). Must run before any
     # backend-initializing jax call; no-ops single-process. Knobs:

@@ -66,6 +66,13 @@ class GenerationService:
         platform = (cfg.get("trainer") or {}).get("platform")
         if platform:
             jax.config.update("jax_platforms", str(platform))
+        cache_dir = cfg.get("compilation_cache_dir") or (
+            cfg.get("trainer") or {}
+        ).get("compilation_cache_dir")
+        if cache_dir:
+            from vaura_tpu.utils import enable_compilation_cache
+
+            enable_compilation_cache(cache_dir)
         import jax.numpy as jnp
 
         from vaura_tpu.models.factory import build_system, maybe_load_pretrained
