@@ -157,6 +157,7 @@ def test_binary_npy_request(server):
     assert e.value.code == 400
 
 
+@pytest.mark.slow
 def test_generate_long_streams_wav_increments(server):
     """POST /generate_long returns a live WAV: unknown-length RIFF header
     then PCM increments per decoded chunk, close-delimited; total samples
@@ -239,6 +240,7 @@ def test_mesh_sharded_serving():
         GenerationService({**cfg, "aot_load": "nope.jaxexport"})
 
 
+@pytest.mark.slow
 def test_client_library(server, tmp_path):
     """scripts/client.py drives every endpoint: short WAV, codes, and the
     long stream (header + increments assemble to the geometry's sample

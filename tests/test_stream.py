@@ -73,6 +73,7 @@ def test_windowed_decode_is_exact_in_the_interior(tiny_system):
     assert np.abs(wav0 - want).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_stream_matches_generate_long(tiny_system):
     import jax
 
