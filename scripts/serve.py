@@ -9,7 +9,9 @@ can drive it.
 
 Endpoints::
 
-    GET  /healthz            -> {"status": "ok", "batch": B, ...}
+    GET  /healthz            -> {"status": "ok"|"draining", "batch": B, ...}
+    GET  /metrics            -> Prometheus counters (requests, batches,
+                                fill ratio, latency avg, inflight)
     POST /generate           body: {"features": [[...768 floats...] x Tv]}
                              or    {"video_b64": "<base64 mp4>"}
                              -> WAV bytes (audio/wav)
@@ -55,6 +57,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 logger = logging.getLogger("serve")
+
+
+class DrainingError(RuntimeError):
+    """Raised for requests arriving after shutdown began (HTTP 503)."""
 
 
 class GenerationService:
@@ -238,6 +244,18 @@ class GenerationService:
         self._jax = jax
         self._q: "queue.Queue" = queue.Queue()
         self._worker = threading.Thread(target=self._loop, daemon=True)
+        # observability + graceful shutdown
+        self._metrics_lock = threading.Lock()
+        self._metrics = {
+            "requests_total": 0,
+            "stream_requests_total": 0,
+            "batches_total": 0,
+            "batch_slots_total": 0,
+            "errors_total": 0,
+            "batch_seconds_sum": 0.0,
+        }
+        self._inflight = 0
+        self._draining = False
         # AOT serving graph (vaura_tpu.utils.aot): `aot_load` replaces the
         # startup jit trace+lower with a deserialized StableHLO artifact
         # (model code/config no longer shape the graph); `aot_export`
@@ -449,11 +467,81 @@ class GenerationService:
             )
         done = threading.Event()
         slot: dict = {"feats": feats, "want": want, "done": done}
-        self._q.put(slot)
+        self._enqueue(slot)
         done.wait()
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["result"]
+
+    def _enqueue(self, slot: dict) -> None:
+        with self._metrics_lock:
+            if self._draining:
+                raise DrainingError(
+                    "server is draining (shutdown in progress)"
+                )
+            self._inflight += 1
+            key = (
+                "stream_requests_total" if slot.get("stream")
+                else "requests_total"
+            )
+            self._metrics[key] += 1
+        self._q.put(slot)
+
+    def _finish(self, slots, error: Optional[str] = None) -> None:
+        with self._metrics_lock:
+            self._inflight -= len(slots)
+            if error is not None:
+                self._metrics["errors_total"] += len(slots)
+        for s in slots:
+            if error is not None:
+                s["error"] = error
+            s["done"].set()
+
+    def begin_drain(self) -> None:
+        """Stop accepting work; queued/in-flight requests still finish."""
+        with self._metrics_lock:
+            if self._draining:
+                return
+            self._draining = True
+        logger.info("draining: no new requests accepted")
+
+    def drain(self, timeout: float = 120.0) -> bool:
+        """Block until every accepted request has been answered (or
+        ``timeout``). Returns True when fully drained."""
+        self.begin_drain()
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            with self._metrics_lock:
+                if self._inflight == 0:
+                    return True
+            time.sleep(0.05)
+        with self._metrics_lock:
+            left = self._inflight
+        logger.warning("drain timeout: %d requests still in flight", left)
+        return False
+
+    def metrics_text(self) -> str:
+        """Prometheus exposition-format counters."""
+        with self._metrics_lock:
+            m = dict(self._metrics)
+            inflight = self._inflight
+            draining = int(self._draining)
+        batches = max(1, m["batches_total"])
+        lines = [
+            "# TYPE vaura_requests_total counter",
+            f"vaura_requests_total {m['requests_total']}",
+            f"vaura_stream_requests_total {m['stream_requests_total']}",
+            f"vaura_batches_total {m['batches_total']}",
+            f"vaura_errors_total {m['errors_total']}",
+            "# TYPE vaura_batch_fill_ratio gauge",
+            "vaura_batch_fill_ratio "
+            f"{m['batch_slots_total'] / (batches * self.batch):.4f}",
+            f"vaura_batch_seconds_avg {m['batch_seconds_sum'] / batches:.4f}",
+            f"vaura_inflight {inflight}",
+            f"vaura_draining {draining}",
+            f"vaura_compiled_batch {self.batch}",
+        ]
+        return "\n".join(lines) + "\n"
 
     def submit_stream(self, feats_segments: np.ndarray, writer) -> None:
         """Enqueue one streaming long-generation request; ``writer`` is
@@ -473,7 +561,7 @@ class GenerationService:
             "stream": True, "feats": feats_segments, "writer": writer,
             "done": done,
         }
-        self._q.put(slot)
+        self._enqueue(slot)
         done.wait()
         if "error" in slot:
             raise RuntimeError(slot["error"])
@@ -511,11 +599,10 @@ class GenerationService:
                 "stream done: %d chunks, %d tokens, %.2fs",
                 n, self.stream_tokens, time.time() - t0,
             )
+            self._finish([slot])
         except Exception as e:
             logger.exception("stream failed")
-            slot["error"] = str(e)
-        finally:
-            slot["done"].set()
+            self._finish([slot], error=str(e))
 
     def _loop(self):
         import jax.numpy as jnp
@@ -559,16 +646,18 @@ class GenerationService:
                     s["result"] = (
                         codes[i] if s["want"] == "codes" else audio[i]
                     )
-                    s["done"].set()
+                with self._metrics_lock:
+                    self._metrics["batches_total"] += 1
+                    self._metrics["batch_slots_total"] += len(slots)
+                    self._metrics["batch_seconds_sum"] += t2 - t0
+                self._finish(slots)
                 logger.info(
                     "batch n=%d dispatch=%.3fs run+fetch=%.3fs",
                     len(slots), t1 - t0, t2 - t1,
                 )
             except Exception as e:  # pragma: no cover - defensive
                 logger.exception("batch failed")
-                for s in slots:
-                    s["error"] = str(e)
-                    s["done"].set()
+                self._finish(slots, error=str(e))
 
 
 def make_handler(service: GenerationService):
@@ -584,9 +673,15 @@ def make_handler(service: GenerationService):
             self.wfile.write(body)
 
         def do_GET(self):
+            if self.path.startswith("/metrics"):
+                self._reply(
+                    200, service.metrics_text().encode(),
+                    "text/plain; version=0.0.4",
+                )
+                return
             if self.path.startswith("/healthz"):
                 info = {
-                    "status": "ok",
+                    "status": "draining" if service._draining else "ok",
                     "batch": service.batch,
                     "duration_s": service.duration,
                     "max_feature_rows": service.tv,
@@ -647,6 +742,8 @@ def make_handler(service: GenerationService):
                     buf = io.BytesIO()
                     write_wav(buf, result.reshape(1, -1), service.sample_rate)
                     self._reply(200, buf.getvalue(), "audio/wav")
+            except DrainingError as e:
+                self._reply(503, json.dumps({"error": str(e)}).encode())
             except Exception as e:
                 self._reply(400, json.dumps({"error": str(e)}).encode())
 
@@ -695,6 +792,8 @@ def make_handler(service: GenerationService):
                 if not headers_sent:  # zero-length stream edge case
                     write_increment(np.zeros((0,), np.float32))
                 self.close_connection = True
+            except DrainingError as e:
+                self._reply(503, json.dumps({"error": str(e)}).encode())
             except Exception as e:
                 if headers_sent:
                     # mid-stream failure: the status line is gone; all we
@@ -731,8 +830,23 @@ def main() -> None:
         cfg.get("listen_backlog", 256)
     )
     server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
+
+    # graceful shutdown: SIGTERM/SIGINT -> stop accepting work (new
+    # requests get 503), answer everything already accepted, then exit 0
+    import signal
+
+    def _shutdown(signum, frame):
+        logger.info("signal %d: draining", signum)
+        service.begin_drain()
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _shutdown)
+    signal.signal(signal.SIGINT, _shutdown)
+
     logger.info("serving on http://127.0.0.1:%d (batch=%d)", port, service.batch)
     server.serve_forever()
+    drained = service.drain(timeout=float(cfg.get("drain_timeout_s", 120)))
+    logger.info("shutdown complete (drained=%s)", drained)
 
 
 if __name__ == "__main__":

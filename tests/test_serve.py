@@ -366,3 +366,60 @@ def test_mesh_sharded_serving_quantized():
     ).astype(np.float32)
     codes = svc.submit(feats, want="codes")
     assert codes.shape[0] == svc.system.num_codebooks
+
+
+def test_metrics_endpoint(server):
+    base, service = server
+    # force at least one served batch so counters are nonzero
+    feats = np.zeros((4, service.cond_dim), np.float32)
+    service.submit(feats, want="codes")
+    text = urllib.request.urlopen(base + "/metrics").read().decode()
+    vals = {
+        line.split()[0]: float(line.split()[1])
+        for line in text.splitlines() if not line.startswith("#")
+    }
+    assert vals["vaura_requests_total"] >= 1
+    assert vals["vaura_batches_total"] >= 1
+    assert 0 < vals["vaura_batch_fill_ratio"] <= 1
+    assert vals["vaura_batch_seconds_avg"] > 0
+    assert vals["vaura_inflight"] == 0
+    assert vals["vaura_draining"] == 0
+    assert vals["vaura_compiled_batch"] == service.batch
+
+
+@pytest.mark.slow
+def test_graceful_drain():
+    """begin_drain: accepted work finishes, new work gets DrainingError
+    (HTTP 503), drain() reports complete."""
+    from scripts.serve import DrainingError, GenerationService, make_handler
+    from vaura_tpu.config import assemble_config
+
+    cfg = dict(
+        assemble_config(
+            [f"config={REPO / 'configs/experiments/dummy.yaml'}"],
+            defaults_path=REPO / "configs" / "vaura_defaults.yaml",
+            base_dir=REPO,
+        )
+    )
+    cfg.update(batch=1, duration=0.15, top_k=8, max_wait_ms=10)
+    service = GenerationService(cfg)
+    service.start()
+    feats = np.zeros((4, service.cond_dim), np.float32)
+    service.submit(feats, want="codes")  # warm, served
+
+    service.begin_drain()
+    with pytest.raises(DrainingError):
+        service.submit(feats, want="codes")
+    assert service.drain(timeout=10)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        info = json.loads(urllib.request.urlopen(base + "/healthz").read())
+        assert info["status"] == "draining"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base, "/generate", {"features": feats.tolist()})
+        assert e.value.code == 503
+    finally:
+        httpd.shutdown()
