@@ -604,6 +604,19 @@ class GenerationService:
             logger.exception("stream failed")
             self._finish([slot], error=str(e))
 
+    def close(self, timeout: float = 10.0) -> bool:
+        """Drain, stop the worker thread, and release the service.
+
+        Idempotent; used by tests and the server's signal path so a
+        retired service does not leave its micro-batch worker (which
+        holds ``self`` — params plus compiled graphs) alive forever.
+        """
+        drained = self.drain(timeout=timeout)
+        self._q.put(None)  # wake + stop the worker
+        if self._worker.is_alive():
+            self._worker.join(timeout=timeout)
+        return drained
+
     def _loop(self):
         import jax.numpy as jnp
 
@@ -611,6 +624,8 @@ class GenerationService:
         while True:
             first = held if held is not None else self._q.get()
             held = None
+            if first is None:
+                return  # close() sentinel
             if first.get("stream"):
                 self._run_stream(first)
                 continue
@@ -623,6 +638,9 @@ class GenerationService:
                 try:
                     s = self._q.get(timeout=timeout)
                 except queue.Empty:
+                    break
+                if s is None:  # close() sentinel mid-fill
+                    self._q.put(None)  # re-deliver after this batch
                     break
                 if s.get("stream"):
                     held = s  # run after this batch, keep TPU exclusive
@@ -845,7 +863,7 @@ def main() -> None:
 
     logger.info("serving on http://127.0.0.1:%d (batch=%d)", port, service.batch)
     server.serve_forever()
-    drained = service.drain(timeout=float(cfg.get("drain_timeout_s", 120)))
+    drained = service.close(timeout=float(cfg.get("drain_timeout_s", 120)))
     logger.info("shutdown complete (drained=%s)", drained)
 
 

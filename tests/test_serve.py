@@ -43,6 +43,7 @@ def server():
     t.start()
     yield f"http://127.0.0.1:{httpd.server_address[1]}", service
     httpd.shutdown()
+    service.close(timeout=10)
 
 
 def _post(base, path, payload):
@@ -423,3 +424,8 @@ def test_graceful_drain():
         assert e.value.code == 503
     finally:
         httpd.shutdown()
+
+    # close(): worker thread exits and the service is fully retired
+    assert service.close(timeout=10)
+    assert not service._worker.is_alive()
+    assert service.close(timeout=1)  # idempotent
