@@ -5,12 +5,13 @@ Usage::
 
     python main.py config=configs/experiments/dummy.yaml [key=value ...]
 
-Actions: ``train`` | ``test`` | ``generate`` | ``finetune`` | ``eval``.
-The last two go beyond the reference, where ``eval`` only prints a pointer
-to the external evaluation framework (``main.py:109-111``) and
-``finetune`` raises NotImplementedError (``main.py:114-115``): here
-``eval`` runs the in-repo FAD/KLD metrics (``scripts/eval_metrics.py``)
-and ``finetune`` supports full and LoRA finetuning (``scripts/finetune.py``).
+Actions: ``train`` | ``test`` | ``generate`` | ``finetune`` | ``eval`` |
+``serve``. The last three go beyond the reference, where ``eval`` only
+prints a pointer to the external evaluation framework (``main.py:109-111``)
+and ``finetune`` raises NotImplementedError (``main.py:114-115``): here
+``eval`` runs the in-repo FAD/KLD metrics (``scripts/eval_metrics.py``),
+``finetune`` supports full and LoRA finetuning (``scripts/finetune.py``),
+and ``serve`` starts the micro-batching HTTP server (``scripts/serve.py``).
 """
 
 from __future__ import annotations
@@ -128,6 +129,11 @@ def main(argv=None) -> int:
         from scripts.finetune import finetune
 
         finetune(cfg)
+    elif action == "serve":
+        # serving front-end (no reference counterpart; scripts/serve.py)
+        from scripts.serve import run_server
+
+        run_server(cfg)
     else:
         raise ValueError(f"Unknown action {action!r}")
     return 0

@@ -838,6 +838,14 @@ def main() -> None:
         defaults_path=repo / "configs" / "vaura_defaults.yaml",
         base_dir=repo,
     )
+    run_server(cfg)
+
+
+def run_server(cfg: dict) -> None:
+    """Start the micro-batching HTTP server from an assembled config
+    (also dispatched as ``python main.py ... action=serve``)."""
+    # WARNING at startup, INFO inside actions (reference main.py:91)
+    logging.getLogger().setLevel(logging.INFO)
     service = GenerationService(cfg)
     service.start()
     port = int(cfg.get("port", 8800))
