@@ -96,6 +96,14 @@ def main() -> None:
              "drops to 32 where the whole pipeline fits)",
     )
     ap.add_argument(
+        "--encoder-chunk", type=int, default=None,
+        help="with --with-encoder: run the visual encoder over sequential "
+             "batch slices (lax.map) so the ViT's frame/activation "
+             "footprint stops bounding the batch at 32 — e.g. "
+             "--batch 128 --encoder-chunk 32 runs the AR loop at its "
+             "sweet spot while the encoder streams 4 slices",
+    )
+    ap.add_argument(
         "--precomputed-codes", action="store_true",
         help="train mode: feed precomputed codec tokens (the "
              "scripts/precompute_codes.py pipeline) instead of encoding "
@@ -189,7 +197,9 @@ def main() -> None:
         if frames is not None:
             # true pipeline: the visual encoder runs inside the timed
             # graph (reference generate.py:279-285 pays this per sample)
-            vis_feats = system.visual_features(params, frames)
+            vis_feats = system.visual_features(
+                params, frames, chunk_size=args.encoder_chunk
+            )
         cond_seq = system.build_cond_seq_for_generation(
             params, vis_feats, S, tokens_per_frame=7, cfg=use_cfg
         )

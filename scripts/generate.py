@@ -228,6 +228,11 @@ def generate(cfg: dict) -> dict:
         use_sampling=use_sampling, temp=temp, top_k=top_k, top_p=top_p,
         cfg_scale=cfg_scale,
     )
+    # encoder_chunk_size: run the visual encoder over lax.map batch slices
+    # so the ViT's frame/activation footprint stops capping the generation
+    # batch (v5e: encoder OOMs at B>=64 while the AR loop peaks at 128)
+    if cfg.get("encoder_chunk_size"):
+        sampling["encoder_chunk_size"] = int(cfg["encoder_chunk_size"])
     # ground-truth audio handling (reference generate.py:181-182,286-301):
     # save_original_files writes the GT audio alongside the generated clip,
     # by default round-tripped through the codec (compress_original_audio)

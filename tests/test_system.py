@@ -207,6 +207,23 @@ def test_generate_long_chunked(system):
 
 
 @pytest.mark.slow
+def test_visual_features_chunked_matches_full(system):
+    """``visual_features(chunk_size=...)`` (lax.map over batch slices —
+    lifts the ViT activation bound on the generation batch) must match the
+    full-batch encoder run, including a non-divisor chunk request
+    (largest-divisor fallback). Tolerance-based: slicing the batch changes
+    XLA's matmul fusion/reduction order (measured max |delta| ~7e-9 f32)."""
+    sys_, params = system
+    frames = _batch(B=4)["frames"]
+    full = np.asarray(sys_.visual_features(params, frames, train=False))
+    for chunk in (2, 3):  # 3 -> divisor fallback to 2
+        chunked = np.asarray(
+            sys_.visual_features(params, frames, train=False, chunk_size=chunk)
+        )
+        np.testing.assert_allclose(full, chunked, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_train_forward_per_clip_audio(system):
     """Non-flattened training mode: audio arrives clip-partitioned
     [B, n_clips, 1, Ta_clip] with per-clip frames (reference

@@ -244,6 +244,7 @@ class VauraSystem:
         frames: jax.Array,  # [B, S, C, T, H, W]
         train: bool = False,
         rngs: Optional[Dict[str, jax.Array]] = None,
+        chunk_size: Optional[int] = None,
     ) -> jax.Array:
         """Run the visual encoder and flatten segments
         (reference ``_handle_visual_conditioning``,
@@ -251,17 +252,34 @@ class VauraSystem:
 
         With no encoder configured, a 3-D ``frames`` tensor is taken as
         already-extracted ``[B, Tv, D]`` features (feature-cached
-        datasets / precomputed-feature training)."""
+        datasets / precomputed-feature training).
+
+        ``chunk_size`` runs the encoder over sequential batch slices via
+        ``lax.map`` (same pattern as ``decode_audio``): the ViT's frame +
+        activation footprint otherwise bounds the generation batch at ~32
+        on a v5e while the AR loop's sweet spot is 128. Inference-only
+        (dropout rngs don't thread through the map)."""
         if self.encoder is None:
             assert frames is not None and frames.ndim == 3, (
                 "no visual encoder configured: pass [B, Tv, D] features"
             )
             feats = frames
         else:
-            feats, _ = self.encoder.apply(
-                {"params": params["encoder"]}, frames, train=train,
+            enc = lambda f: self.encoder.apply(
+                {"params": params["encoder"]}, f, train=train,
                 rngs=rngs or {},
-            )
+            )[0]
+            B = frames.shape[0]
+            if chunk_size and B > chunk_size and not (train or rngs):
+                chunk = next(
+                    c for c in range(min(chunk_size, B), 0, -1) if B % c == 0
+                )
+                feats = jax.lax.map(
+                    enc, frames.reshape(B // chunk, chunk, *frames.shape[1:])
+                )
+                feats = feats.reshape(B, *feats.shape[2:])
+            else:
+                feats = enc(frames)
             B, S, t, D = feats.shape
             feats = feats.reshape(B, S * t, D)
         if self.freeze_feature_extractor:
@@ -580,6 +598,7 @@ class VauraSystem:
         vis_feats: Optional[jax.Array] = None,
         decode_to_audio: bool = True,
         dac_chunk_size: Optional[int] = None,
+        encoder_chunk_size: Optional[int] = None,
         decode_buckets: int = 8,
         check: bool = False,
     ) -> Dict[str, jax.Array]:
@@ -591,7 +610,9 @@ class VauraSystem:
         pattern, valid_mask, S = self.prepare_generation(max_new_tokens)
 
         if vis_feats is None and self.encoder is not None and frames is not None:
-            vis_feats = self.visual_features(params, frames, train=False)
+            vis_feats = self.visual_features(
+                params, frames, train=False, chunk_size=encoder_chunk_size
+            )
         B = (
             vis_feats.shape[0]
             if vis_feats is not None
@@ -699,6 +720,7 @@ class VauraSystem:
         vis_feats_segments: Optional[jax.Array] = None,  # [B, S_total, t, D]
         decode_to_audio: bool = True,
         dac_chunk_size: Optional[int] = None,
+        encoder_chunk_size: Optional[int] = None,
         decode_buckets: int = 2,
         **sampling,
     ) -> Dict[str, jax.Array]:
@@ -757,21 +779,41 @@ class VauraSystem:
         params: Dict[str, Any],
         frames: Optional[jax.Array],
         vis_feats_segments: Optional[jax.Array],
+        chunk_size: Optional[int] = None,
     ) -> jax.Array:
         """Run the visual encoder ONCE over all long-horizon segments
-        (chunks re-index the cached features; see ``generate_long``)."""
+        (chunks re-index the cached features; see ``generate_long``).
+        ``chunk_size`` slices the batch through ``lax.map`` like
+        ``visual_features`` — long-horizon frames are S_total segments
+        deep, so the activation bound bites at even smaller batches."""
         from vaura_tpu.utils import cached_jit
 
         if vis_feats_segments is not None:
             return vis_feats_segments
         assert self.encoder is not None and frames is not None
+
+        def _enc(p, f):
+            return self.encoder.apply(
+                {"params": p["encoder"]}, f, train=False
+            )[0]
+
+        def _enc_chunked(p, f):
+            B = f.shape[0]
+            if chunk_size and B > chunk_size:
+                chunk = next(
+                    c for c in range(min(chunk_size, B), 0, -1) if B % c == 0
+                )
+                out = jax.lax.map(
+                    lambda fc: _enc(p, fc),
+                    f.reshape(B // chunk, chunk, *f.shape[1:]),
+                )
+                return out.reshape(B, *out.shape[2:])
+            return _enc(p, f)
+
         # jitted + cached: the un-jitted ViT pass over all segments
         # dispatches op-by-op on a remote device (CLAUDE.md rule)
         enc_fn = cached_jit(
-            self, "_long_enc_jit", frames.shape,
-            lambda p, f: self.encoder.apply(
-                {"params": p["encoder"]}, f, train=False
-            )[0],
+            self, "_long_enc_jit", (frames.shape, chunk_size), _enc_chunked
         )
         return enc_fn(params, frames)  # [B, S_total, t, D]
 
@@ -908,6 +950,7 @@ class VauraSystem:
         tokens_per_frame: int = 7,
         vis_feats_segments: Optional[jax.Array] = None,  # [B, S_total, t, D]
         emit_margin_tokens: Optional[int] = None,
+        encoder_chunk_size: Optional[int] = None,
         decode_buckets: int = 2,
         **sampling,
     ):
@@ -935,7 +978,7 @@ class VauraSystem:
         """
         params = self._resolve_params(params)
         vis_feats_segments = self._long_encode_segments(
-            params, frames, vis_feats_segments
+            params, frames, vis_feats_segments, chunk_size=encoder_chunk_size
         )
         from vaura_tpu.utils import cached_jit
 
