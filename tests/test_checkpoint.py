@@ -92,6 +92,42 @@ def test_restore_best_via_manager(tmp_path):
     )
 
 
+def test_async_save_semantics(tmp_path):
+    """async_save defers meta.json/top-k/`last` bookkeeping to the next
+    save/restore/finalize; all observable contracts (round trip, top-k
+    retention, best resolution, symlink) must match the sync manager."""
+    import json
+
+    mgr = CheckpointManager(tmp_path / "ckpts", top_k=2, async_save=True)
+    states = [_state(i) for i in range(4)]
+    for i, vl in enumerate([3.0, 1.0, 2.0, 0.5]):
+        mgr.save(states[i], epoch=i, step=i * 10, val_loss=vl)
+    # restore while the last save may still be in flight: must block +
+    # finalize first, then read back exactly what was saved
+    payload = mgr.restore(
+        tmp_path / "ckpts" / "last",
+        {"params": abstract_like(states[3].params),
+         "opt_state": abstract_like(states[3].opt_state),
+         "step": abstract_like(states[3].step)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(payload["params"]["sampler"]["w"]),
+        np.asarray(states[3].params["sampler"]["w"]),
+    )
+    names = sorted(
+        p.name for p in (tmp_path / "ckpts").iterdir()
+        if p.name.startswith("epoch=")
+    )
+    assert len(names) == 2
+    assert any("val_loss=0.500" in n for n in names)
+    assert any("val_loss=1.000" in n for n in names)
+    best = resolve_best_checkpoint(tmp_path / "ckpts")
+    assert "val_loss=0.500" in best.name
+    meta = json.loads((best / "meta.json").read_text())
+    assert meta["epoch"] == 3 and meta["step"] == 30
+    mgr.finalize()  # idempotent
+
+
 def test_restore_trainable_params_from_training_ckpt(tmp_path):
     """restore_trainable_params must read the params subtree out of a
     training checkpoint by rebuilding the optimizer skeleton abstractly."""

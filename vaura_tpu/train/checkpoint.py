@@ -24,48 +24,55 @@ from vaura_tpu.utils.experiment import checkpoint_name, resolve_best_checkpoint
 
 
 class CheckpointManager:
-    def __init__(self, ckpt_dir: str | Path, top_k: int = 3, save_last: bool = True):
+    def __init__(
+        self,
+        ckpt_dir: str | Path,
+        top_k: int = 3,
+        save_last: bool = True,
+        async_save: bool = False,
+    ):
         self.ckpt_dir = Path(ckpt_dir)
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
         self.top_k = top_k
         self.save_last = save_last
+        self.async_save = async_save
         self._saved: list[tuple[float, Path]] = []
-        self._ckptr = ocp.StandardCheckpointer()
+        # async_save overlaps checkpoint serialization/IO with the next
+        # training epoch (``trainer.async_checkpointing``). Orbax copies
+        # device arrays to host synchronously inside save(), then writes
+        # in a background thread; bookkeeping that must see the finalized
+        # directory (meta.json, top-k prune, `last` symlink) is deferred
+        # to the next save / restore / finalize().
+        if async_save:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        else:
+            self._ckptr = ocp.StandardCheckpointer()
+        self._pending: Optional[tuple[Path, dict, float]] = None
 
     # ------------------------------------------------------------------ #
-    def save_frozen(self, frozen_params: Dict[str, Any]) -> None:
-        """Persist frozen submodules once per run."""
-        path = self.ckpt_dir / "frozen"
-        if path.exists():
-            shutil.rmtree(path)
-        self._ckptr.save(path.resolve(), frozen_params)
-        self._ckptr.wait_until_finished()
+    def _save_raw(self, path: Path, payload: Any) -> None:
+        if self.async_save:
+            self._ckptr.save(path, args=ocp.args.StandardSave(payload))
+        else:
+            self._ckptr.save(path, payload)
 
-    def restore_frozen(self, abstract: Dict[str, Any]) -> Dict[str, Any]:
-        return self._ckptr.restore((self.ckpt_dir / "frozen").resolve(), abstract)
+    def _restore_raw(self, path: Path, abstract: Any) -> Any:
+        if self.async_save:
+            return self._ckptr.restore(
+                path, args=ocp.args.StandardRestore(abstract)
+            )
+        return self._ckptr.restore(path, abstract)
 
-    # ------------------------------------------------------------------ #
-    def save(
-        self,
-        state: Any,
-        epoch: int,
-        step: int,
-        val_loss: float,
-        metadata: Optional[dict] = None,
-    ) -> Path:
-        """Save trainable state, keep top-k by val_loss + last."""
-        name = checkpoint_name(epoch, step, val_loss)
-        path = self.ckpt_dir / name
-        if path.exists():
-            shutil.rmtree(path)
-        payload = {"params": state.params, "opt_state": state.opt_state,
-                   "step": state.step}
-        self._ckptr.save(path.resolve(), payload)
+    def finalize(self) -> None:
+        """Block until any in-flight async save committed, then run its
+        deferred bookkeeping. Idempotent; no-op for sync managers."""
         self._ckptr.wait_until_finished()
-        meta = {"epoch": epoch, "step": step, "val_loss": float(val_loss)}
-        meta.update(metadata or {})
+        if self._pending is None:
+            return
+        path, meta, val_loss = self._pending
+        self._pending = None
         (path / "meta.json").write_text(json.dumps(meta))
-        self._saved.append((float(val_loss), path))
+        self._saved.append((val_loss, path))
         self._saved.sort(key=lambda t: t[0])
         while len(self._saved) > self.top_k:
             _, worst = self._saved.pop()
@@ -78,27 +85,71 @@ class CheckpointManager:
                 else:
                     shutil.rmtree(last, ignore_errors=True)
             last.symlink_to(path.name)
+
+    # ------------------------------------------------------------------ #
+    def save_frozen(self, frozen_params: Dict[str, Any]) -> None:
+        """Persist frozen submodules once per run."""
+        self.finalize()
+        path = self.ckpt_dir / "frozen"
+        if path.exists():
+            shutil.rmtree(path)
+        self._save_raw(path.resolve(), frozen_params)
+        self._ckptr.wait_until_finished()
+
+    def restore_frozen(self, abstract: Dict[str, Any]) -> Dict[str, Any]:
+        self.finalize()
+        return self._restore_raw((self.ckpt_dir / "frozen").resolve(), abstract)
+
+    # ------------------------------------------------------------------ #
+    def save(
+        self,
+        state: Any,
+        epoch: int,
+        step: int,
+        val_loss: float,
+        metadata: Optional[dict] = None,
+    ) -> Path:
+        """Save trainable state, keep top-k by val_loss + last.
+
+        With ``async_save`` the call returns as soon as device arrays are
+        on the host; directory finalization + bookkeeping complete at the
+        next save/restore/``finalize()``."""
+        self.finalize()  # at most one save in flight
+        name = checkpoint_name(epoch, step, val_loss)
+        path = self.ckpt_dir / name
+        if path.exists():
+            shutil.rmtree(path)
+        payload = {"params": state.params, "opt_state": state.opt_state,
+                   "step": state.step}
+        self._save_raw(path.resolve(), payload)
+        meta = {"epoch": epoch, "step": step, "val_loss": float(val_loss)}
+        meta.update(metadata or {})
+        self._pending = (path, meta, float(val_loss))
+        if not self.async_save:
+            self.finalize()
         return path
 
     def save_emergency(self, state: Any, epoch: int, tag: str = "") -> Path:
         """Crash checkpoint (reference ``maybe_save_checkpoint``,
-        ``train_utils.py:101-110``)."""
+        ``train_utils.py:101-110``). Always synchronous."""
         from vaura_tpu.utils.experiment import timestamp_dirname
 
+        self.finalize()
         name = f"e{epoch}_last_at_{timestamp_dirname(jitter=False)}{tag}"
         path = self.ckpt_dir / name
         payload = {"params": state.params, "opt_state": state.opt_state,
                    "step": state.step}
-        self._ckptr.save(path.resolve(), payload)
+        self._save_raw(path.resolve(), payload)
         self._ckptr.wait_until_finished()
         return path
 
     # ------------------------------------------------------------------ #
     def restore(self, path: str | Path, abstract_payload: Any) -> Any:
+        self.finalize()
         path = Path(path)
         if path.is_symlink():
             path = path.parent / path.readlink()
-        return self._ckptr.restore(path.resolve(), abstract_payload)
+        return self._restore_raw(path.resolve(), abstract_payload)
 
     def restore_best(self, abstract_payload: Any) -> Any:
         best = resolve_best_checkpoint(self.ckpt_dir)

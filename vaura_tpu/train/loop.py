@@ -77,7 +77,10 @@ class Trainer:
         self.mesh = mesh
         self.tb = TBLogger(str(log_dirs["root"]))
         self.tb.add_custom_scalar_layout(system.num_codebooks)
-        self.ckpt = CheckpointManager(log_dirs["checkpoints"])
+        self.ckpt = CheckpointManager(
+            log_dirs["checkpoints"],
+            async_save=bool(trainer_cfg.get("async_checkpointing", False)),
+        )
         self.early_stop = EarlyStopping(
             patience=int(trainer_cfg.get("early_stop_patience", 3) or 10**9)
         )
@@ -273,6 +276,9 @@ class Trainer:
             self.ckpt.save_emergency(state, epoch if "epoch" in dir() else 0)
             raise
         finally:
+            # commit any in-flight async save before the run returns
+            # (test action / resume may read `last` right after fit)
+            self.ckpt.finalize()
             self.tb.flush()
 
         return {"state": state, "frozen": frozen, "rng": rng}
