@@ -16,6 +16,9 @@ Library functions (urllib-only, no dependencies) plus a CLI::
     # latency is printed)
     python scripts/client.py segments.npy --long --out out.wav
 
+    # hot-swap the server's weights (path as seen by the server)
+    python scripts/client.py --reload /ckpts/e3-s1000-0.512
+
 No reference counterpart (the reference has no serving path).
 """
 
@@ -78,6 +81,22 @@ def generate_from_video(
         return r.read()
 
 
+def reload_weights(
+    base_url: str, ckpt_path: str | None = None, *, timeout: float = 600.0
+) -> dict:
+    """Hot-swap the server's weights (POST /reload). ``ckpt_path`` is a
+    path visible to the SERVER; None re-loads its startup checkpoint."""
+    body: dict = {}
+    if ckpt_path:
+        body["ckpt_path"] = str(ckpt_path)
+    req = urllib.request.Request(
+        base_url + "/reload", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.load(r)
+
+
 def generate_long_stream(
     base_url: str,
     features_segments: np.ndarray,
@@ -101,17 +120,27 @@ def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("input", help=".npy features ([Tv, D] short / "
-                    "[S, t, D] --long) or a video file")
+    ap.add_argument("input", nargs="?", help=".npy features ([Tv, D] "
+                    "short / [S, t, D] --long) or a video file")
     ap.add_argument("--url", default="http://127.0.0.1:8800")
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--out", help="output path (required unless --reload)")
     ap.add_argument("--codes", action="store_true",
                     help="fetch token codes (.npy out) instead of audio")
     ap.add_argument("--long", action="store_true",
                     help="streaming long-horizon generation")
+    ap.add_argument("--reload", nargs="?", const="", default=None,
+                    metavar="CKPT",
+                    help="hot-swap the server's weights from CKPT (server-"
+                    "visible path; omit the value to re-load its startup "
+                    "checkpoint), then exit")
     args = ap.parse_args()
 
     t0 = time.time()
+    if args.reload is not None:
+        print(json.dumps(reload_weights(args.url, args.reload or None)))
+        return
+    if not args.input or not args.out:
+        ap.error("input and --out are required unless --reload")
     if args.long:
         first = None
         n = 0

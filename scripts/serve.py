@@ -21,6 +21,12 @@ Endpoints::
                              -> live WAV stream (chunks written as they
                                 decode; stream_duration/stream_stride
                                 server config sets the geometry)
+    POST /reload             body: {"ckpt_path": "..."} (optional; defaults
+                             to the startup checkpoint) -> hot-swap the
+                             serving weights without recompiling: same
+                             architecture, new checkpoint; int8 agreement
+                             gate re-runs and a failing reload keeps the
+                             current weights serving
 
 Batching: requests queue up; the worker drains up to ``--batch`` of them
 (or waits ``--max-wait-ms``), pads the batch, runs the single compiled
@@ -156,7 +162,21 @@ class GenerationService:
             logger.info("loaded %s", ckpt_path)
         else:
             logger.warning("serving RANDOM weights (no checkpoint given)")
+        # hot-reload state (POST /reload): the f32 trainable skeleton that
+        # orbax restores against + the config needed to rebuild the
+        # optimizer skeleton for training checkpoints; the frozen bf16
+        # subtrees are shared by every swap (codec/encoder never train)
+        from vaura_tpu.train.checkpoint import abstract_like
+
+        _trainable_f32, _ = split_params(self.system, params)
+        self._trainable_abstract = abstract_like(_trainable_f32)
+        self._model_cfg = model_cfg
+        self._trainer_cfg = cfg.get("trainer")
+        self.ckpt_path = str(ckpt_path) if ckpt_path else None
         params = cast_floats(params, jnp.bfloat16)
+        _, self._frozen_bf16 = split_params(self.system, params)
+        self._quantize = bool(cfg.get("quantize"))
+        self._quantize_min_agreement = 0.0
         if cfg.get("quantize"):
             import dataclasses as _dc
 
@@ -177,6 +197,7 @@ class GenerationService:
             # (measured at trained margins in PERFORMANCE.md "int8
             # quantization error"; random weights fail this by design)
             min_agree = float(cfg.get("quantize_min_agreement", 0.0) or 0.0)
+            self._quantize_min_agreement = min_agree
             if min_agree > 0.0:
                 agree = self._int8_agreement_probe(
                     fp_sampler, params["sampler"]
@@ -206,6 +227,7 @@ class GenerationService:
         # for models that don't fit one chip). Mirrors the generate
         # action's multi-chip path (scripts/generate.py:205-225).
         self._batch_sharding = None
+        self._mesh = None
         mesh_cfg = dict((cfg.get("trainer") or {}).get("mesh") or {})
         if (
             jax.device_count() > 1
@@ -226,6 +248,7 @@ class GenerationService:
             )
             self._batch_sharding = _bs(mesh)
             self._replicated = replicated(mesh)
+            self._mesh = mesh
             self.params = shard_params(mesh, self.params)
             if cfg.get("aot_export") or cfg.get("aot_load"):
                 raise ValueError(
@@ -252,8 +275,10 @@ class GenerationService:
             "batches_total": 0,
             "batch_slots_total": 0,
             "errors_total": 0,
+            "reloads_total": 0,
             "batch_seconds_sum": 0.0,
         }
+        self._reload_lock = threading.Lock()
         self._inflight = 0
         self._draining = False
         # AOT serving graph (vaura_tpu.utils.aot): `aot_load` replaces the
@@ -339,6 +364,79 @@ class GenerationService:
         return float(
             (lf.argmax(-1)[mask] == lq.argmax(-1)[mask]).mean()
         )
+
+    def reload(self, ckpt_path: Optional[str] = None) -> dict:
+        """Hot-swap serving weights from a checkpoint without restarting
+        or recompiling (POST /reload).
+
+        The compiled graphs close over shapes/dtypes only — params are
+        runtime arguments (both the jit and AOT paths), so a new
+        checkpoint with the same architecture swaps in between batches.
+        Restores the trainable subtree against the startup skeleton,
+        reuses the shared frozen codec/encoder subtrees, re-applies int8
+        quantization (re-running the agreement gate — a reload that fails
+        the gate keeps the current weights serving), and re-shards onto
+        the serving mesh. The swap is a single attribute assignment read
+        once per batch by the worker, so in-flight batches finish on the
+        old weights and the next batch uses the new ones.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from vaura_tpu.train.checkpoint import restore_trainable_params
+        from vaura_tpu.utils import cast_floats
+
+        path = str(ckpt_path or self.ckpt_path or "")
+        if not path:
+            raise ValueError(
+                "no checkpoint to reload: pass ckpt_path (the server was "
+                "started without one)"
+            )
+        with self._reload_lock:
+            t0 = time.time()
+            trainable = restore_trainable_params(
+                path, self._trainable_abstract, self._model_cfg,
+                self._trainer_cfg,
+            )
+            params = cast_floats(
+                {**self._frozen_bf16, **trainable}, jnp.bfloat16
+            )
+            gate = None
+            if self._quantize:
+                from vaura_tpu.ops.quantization import (
+                    quantize_sampler_params,
+                )
+
+                fp_sampler = params["sampler"]
+                params = dict(params)
+                params["sampler"] = quantize_sampler_params(
+                    jax.device_get(params["sampler"])
+                )
+                if self._quantize_min_agreement > 0.0:
+                    gate = self._int8_agreement_probe(
+                        fp_sampler, params["sampler"]
+                    )
+                    if gate < self._quantize_min_agreement:
+                        raise RuntimeError(
+                            "reload refused: int8 agreement %.4f < gate "
+                            "%.2f at %s — current weights keep serving"
+                            % (gate, self._quantize_min_agreement, path)
+                        )
+            if self._mesh is not None:
+                from vaura_tpu.parallel.partitioning import shard_params
+
+                params = shard_params(self._mesh, params)
+            self.params = params  # atomic swap; next batch picks it up
+            self.ckpt_path = path
+            with self._metrics_lock:
+                self._metrics["reloads_total"] += 1
+            dt = time.time() - t0
+            logger.info("reloaded weights from %s (%.2fs)", path, dt)
+            info = {"reloaded": True, "ckpt_path": path,
+                    "seconds": round(dt, 3)}
+            if gate is not None:
+                info["int8_agreement"] = round(gate, 4)
+            return info
 
     def start(self):
         self._warmup()
@@ -533,6 +631,7 @@ class GenerationService:
             f"vaura_stream_requests_total {m['stream_requests_total']}",
             f"vaura_batches_total {m['batches_total']}",
             f"vaura_errors_total {m['errors_total']}",
+            f"vaura_reloads_total {m['reloads_total']}",
             "# TYPE vaura_batch_fill_ratio gauge",
             "vaura_batch_fill_ratio "
             f"{m['batch_slots_total'] / (batches * self.batch):.4f}",
@@ -705,6 +804,7 @@ def make_handler(service: GenerationService):
                     "max_feature_rows": service.tv,
                     "sample_rate": service.sample_rate,
                     "cond_dim": service.cond_dim,
+                    "ckpt_path": service.ckpt_path,
                 }
                 self._reply(200, json.dumps(info).encode())
             else:
@@ -713,6 +813,15 @@ def make_handler(service: GenerationService):
         def do_POST(self):
             if self.path.startswith("/generate_long"):
                 self._do_stream()
+                return
+            if self.path.startswith("/reload"):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    info = service.reload(req.get("ckpt_path"))
+                    self._reply(200, json.dumps(info).encode())
+                except Exception as e:
+                    self._reply(400, json.dumps({"error": str(e)}).encode())
                 return
             if not self.path.startswith("/generate"):
                 self._reply(404, b'{"error": "not found"}')

@@ -429,3 +429,57 @@ def test_graceful_drain():
     assert service.close(timeout=10)
     assert not service._worker.is_alive()
     assert service.close(timeout=1)  # idempotent
+
+
+def test_hot_reload(server, tmp_path):
+    """POST /reload hot-swaps serving weights between batches: same
+    architecture, new checkpoint, no recompile. The int8/mesh variants
+    share the same restore->cast->swap path tested here."""
+    import orbax.checkpoint as ocp
+
+    base, service = server
+    # a converted-style checkpoint: the trainable subtrees with fresh
+    # deterministic values (restore_trainable_params' first branch)
+    rng = np.random.default_rng(7)
+
+    def fresh(sds):
+        if np.issubdtype(sds.dtype, np.floating):
+            return rng.standard_normal(sds.shape).astype(sds.dtype)
+        return np.zeros(sds.shape, sds.dtype)
+
+    import jax
+
+    tree = jax.tree.map(fresh, service._trainable_abstract)
+    ckpt = (tmp_path / "reload_ckpt").resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(ckpt, tree)
+        ckptr.wait_until_finished()
+
+    def sampler_leaf(params):
+        leaves = jax.tree.leaves(params["sampler"])
+        return np.asarray(leaves[0]).ravel()[:4].copy()
+
+    before = sampler_leaf(service.params)
+    from scripts import client
+
+    info = client.reload_weights(base, str(ckpt))
+    assert info["reloaded"] and info["ckpt_path"] == str(ckpt)
+    after = sampler_leaf(service.params)
+    assert not np.allclose(before, after)
+
+    # the swapped weights serve without recompiling (same shapes)
+    feats = np.zeros((4, service.cond_dim), np.float32)
+    codes = service.submit(feats, want="codes")
+    assert codes.shape[0] == service.system.num_codebooks
+
+    info = json.loads(urllib.request.urlopen(base + "/healthz").read())
+    assert info["ckpt_path"] == str(ckpt)
+    text = urllib.request.urlopen(base + "/metrics").read().decode()
+    assert "vaura_reloads_total 1" in text
+
+    # no startup checkpoint and no ckpt_path in the request -> 400
+    service.ckpt_path = None
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/reload", {})
+    assert e.value.code == 400
+    assert "no checkpoint to reload" in e.value.read().decode()
