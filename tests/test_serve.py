@@ -483,3 +483,70 @@ def test_hot_reload(server, tmp_path):
         _post(base, "/reload", {})
     assert e.value.code == 400
     assert "no checkpoint to reload" in e.value.read().decode()
+
+
+@pytest.mark.slow
+def test_hot_reload_quantized_gate_refusal(tmp_path):
+    """A reload that fails the int8 agreement gate raises and keeps the
+    CURRENT weights serving; a passing reload re-quantizes the new ones."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from scripts.serve import GenerationService
+    from vaura_tpu.config import assemble_config
+
+    cfg = dict(
+        assemble_config(
+            [f"config={REPO / 'configs/experiments/dummy.yaml'}"],
+            defaults_path=REPO / "configs" / "vaura_defaults.yaml",
+            base_dir=REPO,
+        )
+    )
+    cfg.update(batch=1, duration=0.15, top_k=8, quantize=True,
+               quantize_min_agreement=0.0)
+    service = GenerationService(cfg)
+    service.start()
+    try:
+        rng = np.random.default_rng(5)
+        tree = jax.tree.map(
+            lambda sds: (
+                rng.standard_normal(sds.shape).astype(sds.dtype)
+                if np.issubdtype(sds.dtype, np.floating)
+                else np.zeros(sds.shape, sds.dtype)
+            ),
+            service._trainable_abstract,
+        )
+        ckpt = (tmp_path / "q_ckpt").resolve()
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(ckpt, tree)
+            ckptr.wait_until_finished()
+
+        def leaf(params):
+            return np.asarray(
+                jax.tree.leaves(params["sampler"])[0]
+            ).ravel()[:4].copy()
+
+        before = leaf(service.params)
+        # impossible gate: reload must refuse and keep the old weights
+        service._quantize_min_agreement = 1.1
+        with pytest.raises(RuntimeError, match="reload refused"):
+            service.reload(str(ckpt))
+        assert np.array_equal(before, leaf(service.params))
+        assert service.ckpt_path is None  # unchanged
+
+        # reachable gate: reload succeeds, params re-quantized (int8 dtype
+        # preserved) and swapped
+        service._quantize_min_agreement = 0.0
+        info = service.reload(str(ckpt))
+        assert info["reloaded"]
+        assert not np.array_equal(before, leaf(service.params))
+        dtypes = {
+            np.asarray(x).dtype
+            for x in jax.tree.leaves(service.params["sampler"])
+        }
+        assert np.dtype(np.int8) in dtypes
+        feats = np.zeros((4, service.cond_dim), np.float32)
+        codes = service.submit(feats, want="codes")
+        assert codes.shape[0] == service.system.num_codebooks
+    finally:
+        service.close(timeout=10)
