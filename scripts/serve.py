@@ -38,6 +38,9 @@ Usage::
 
     python scripts/serve.py config=CONFIG.yaml [experiment_path=...]
         [port=8800] [batch=8] [duration=2.56] [quantize=true]
+        [batch_buckets=1,4]  # extra smaller compiled batches: micro-
+                             # batches pad to the smallest bucket that
+                             # fits (low-load p50 ~ bucket/batch ratio)
         [trainer.platform=cpu]
         [aot_export=PATH]   # write a jax.export StableHLO serving graph
         [aot_load=PATH]     # serve from one (skips the startup trace)
@@ -69,6 +72,27 @@ class DrainingError(RuntimeError):
     """Raised for requests arriving after shutdown began (HTTP 503)."""
 
 
+def _parse_batch_buckets(buckets, batch: int) -> list[int]:
+    """Normalize the batch_buckets knob to a sorted list ending in batch.
+
+    Accepts a comma string ("1,4"), a YAML list, or a bare int (the CLI
+    overlay coerces "batch_buckets=1" to int). The full batch is always
+    included as the largest bucket.
+    """
+    if not buckets:
+        return [batch]
+    if isinstance(buckets, str):
+        buckets = [int(b) for b in buckets.split(",") if b.strip()]
+    elif isinstance(buckets, int):
+        buckets = [buckets]
+    out = sorted({int(b) for b in buckets} | {batch})
+    if out[-1] != batch or out[0] < 1:
+        raise ValueError(
+            f"batch_buckets {out} must be within [1, batch={batch}]"
+        )
+    return out
+
+
 class GenerationService:
     """Owns the compiled generation graph and the micro-batching queue."""
 
@@ -97,6 +121,16 @@ class GenerationService:
         )
 
         self.batch = int(cfg.get("batch", 8))
+        # batch buckets: additional SMALLER compiled batch sizes; the
+        # worker pads each micro-batch to the smallest bucket that fits
+        # instead of always padding to the full compiled batch. A lone
+        # request at batch=128 otherwise pays the 128-wide decode (the
+        # per-step cost is HBM-bound on cache reads, ~linear in B), so
+        # low-load p50 drops by roughly the bucket ratio. Every bucket is
+        # compiled at warmup — startup cost scales with the list.
+        self.batch_buckets = _parse_batch_buckets(
+            cfg.get("batch_buckets"), self.batch
+        )
         self.duration = float(cfg.get("duration", 2.56))
         self.tokens = int(self.duration * 86)
         # Fixed conditioning length: every request is padded to this many
@@ -246,6 +280,14 @@ class GenerationService:
                 fsdp=int(mesh_cfg.get("fsdp", 1)),
                 model=int(mesh_cfg.get("model", 1)),
             )
+            bad = [b for b in self.batch_buckets
+                   if b % jax.device_count() != 0]
+            if bad:
+                raise ValueError(
+                    f"batch_buckets {bad} not divisible by the "
+                    f"{jax.device_count()}-device serving mesh; every "
+                    "bucket must shard evenly (or set mesh_serving=false)"
+                )
             self._batch_sharding = _bs(mesh)
             self._replicated = replicated(mesh)
             self._mesh = mesh
@@ -276,8 +318,10 @@ class GenerationService:
             "batch_slots_total": 0,
             "errors_total": 0,
             "reloads_total": 0,
+            "batch_capacity_total": 0,
             "batch_seconds_sum": 0.0,
         }
+        self._bucket_counts = {b: 0 for b in self.batch_buckets}
         self._reload_lock = threading.Lock()
         self._inflight = 0
         self._draining = False
@@ -287,6 +331,14 @@ class GenerationService:
         # writes one after warmup for the next deploy.
         self.aot_export = cfg.get("aot_export")
         self._aot = None
+        if (self.aot_export or cfg.get("aot_load")) and len(
+            self.batch_buckets
+        ) > 1:
+            raise ValueError(
+                "batch_buckets and aot_export/aot_load are mutually "
+                "exclusive (exported artifacts are single fixed-batch "
+                "graphs); drop the buckets or the AOT flags"
+            )
         aot_load = cfg.get("aot_load")
         if aot_load:
             from vaura_tpu.utils.aot import load_generate
@@ -492,16 +544,17 @@ class GenerationService:
         return jnp.asarray(feats)
 
     def _warmup(self):
-        t0 = time.time()
-        feats = self._put_batch(
-            np.zeros((self.batch, self.tv, self.cond_dim), np.float32)
-        )
-        out = self._generate(feats, 0)
-        np.asarray(out["audio"])
-        logger.info(
-            "compiled generation graph: batch=%d tv=%d duration=%.2fs (%.1fs)",
-            self.batch, self.tv, self.duration, time.time() - t0,
-        )
+        for b in self.batch_buckets:
+            t0 = time.time()
+            feats = self._put_batch(
+                np.zeros((b, self.tv, self.cond_dim), np.float32)
+            )
+            out = self._generate(feats, 0)
+            np.asarray(out["audio"])
+            logger.info(
+                "compiled generation graph: batch=%d tv=%d duration=%.2fs "
+                "(%.1fs)", b, self.tv, self.duration, time.time() - t0,
+            )
 
     def video_to_features(self, video_bytes: bytes) -> np.ndarray:
         """mp4 bytes -> [Tv, cond_dim] features via the visual encoder."""
@@ -622,9 +675,11 @@ class GenerationService:
         """Prometheus exposition-format counters."""
         with self._metrics_lock:
             m = dict(self._metrics)
+            buckets = dict(self._bucket_counts)
             inflight = self._inflight
             draining = int(self._draining)
         batches = max(1, m["batches_total"])
+        capacity = max(1, m["batch_capacity_total"])
         lines = [
             "# TYPE vaura_requests_total counter",
             f"vaura_requests_total {m['requests_total']}",
@@ -632,9 +687,13 @@ class GenerationService:
             f"vaura_batches_total {m['batches_total']}",
             f"vaura_errors_total {m['errors_total']}",
             f"vaura_reloads_total {m['reloads_total']}",
+        ] + [
+            'vaura_bucket_batches_total{bucket="%d"} %d' % (b, n)
+            for b, n in buckets.items()
+        ] + [
             "# TYPE vaura_batch_fill_ratio gauge",
             "vaura_batch_fill_ratio "
-            f"{m['batch_slots_total'] / (batches * self.batch):.4f}",
+            f"{m['batch_slots_total'] / capacity:.4f}",
             f"vaura_batch_seconds_avg {m['batch_seconds_sum'] / batches:.4f}",
             f"vaura_inflight {inflight}",
             f"vaura_draining {draining}",
@@ -746,8 +805,12 @@ class GenerationService:
                     break
                 slots.append(s)
             try:
+                # smallest compiled bucket that fits this micro-batch
+                bucket = next(
+                    b for b in self.batch_buckets if b >= len(slots)
+                )
                 feats = np.zeros(
-                    (self.batch, self.tv, self.cond_dim), np.float32
+                    (bucket, self.tv, self.cond_dim), np.float32
                 )
                 for i, s in enumerate(slots):
                     feats[i, : s["feats"].shape[0]] = s["feats"]
@@ -766,6 +829,8 @@ class GenerationService:
                 with self._metrics_lock:
                     self._metrics["batches_total"] += 1
                     self._metrics["batch_slots_total"] += len(slots)
+                    self._metrics["batch_capacity_total"] += bucket
+                    self._bucket_counts[bucket] += 1
                     self._metrics["batch_seconds_sum"] += t2 - t0
                 self._finish(slots)
                 logger.info(
@@ -800,6 +865,7 @@ def make_handler(service: GenerationService):
                 info = {
                     "status": "draining" if service._draining else "ok",
                     "batch": service.batch,
+                    "batch_buckets": service.batch_buckets,
                     "duration_s": service.duration,
                     "max_feature_rows": service.tv,
                     "sample_rate": service.sample_rate,

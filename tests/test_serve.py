@@ -31,7 +31,7 @@ def server():
         )
     )
     cfg.update(
-        batch=2, duration=0.15, top_k=8, max_wait_ms=50,
+        batch=2, batch_buckets="1", duration=0.15, top_k=8, max_wait_ms=50,
         # tiny long-stream geometry (3 chunks within the 64-token block)
         stream_duration=0.6, stream_tokens=60, stream_stride_tokens=20,
         stream_max_tokens=30,
@@ -550,3 +550,68 @@ def test_hot_reload_quantized_gate_refusal(tmp_path):
         assert codes.shape[0] == service.system.num_codebooks
     finally:
         service.close(timeout=10)
+
+
+def test_batch_buckets(server):
+    """A lone request dispatches on the smallest compiled bucket (B=1)
+    instead of padding to the full batch; coalesced pairs use the full
+    bucket; healthz and /metrics expose the bucket inventory."""
+    base, service = server
+    assert service.batch_buckets == [1, 2]
+    info = json.loads(urllib.request.urlopen(base + "/healthz").read())
+    assert info["batch_buckets"] == [1, 2]
+
+    before = dict(service._bucket_counts)
+    feats = np.zeros((4, service.cond_dim), np.float32)
+    service.submit(feats, want="codes")  # lone request -> bucket 1
+    assert service._bucket_counts[1] == before[1] + 1
+
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        payload = {"features": feats.tolist()}
+        f1 = ex.submit(_post, base, "/generate?raw=codes", payload)
+        f2 = ex.submit(_post, base, "/generate?raw=codes", payload)
+        f1.result(60), f2.result(60)
+    assert service._bucket_counts[2] >= before[2] + 1
+
+    text = urllib.request.urlopen(base + "/metrics").read().decode()
+    assert 'vaura_bucket_batches_total{bucket="1"}' in text
+    # fill ratio is against dispatched capacity, not the max batch
+    vals = {
+        line.split()[0]: float(line.split()[1])
+        for line in text.splitlines()
+        if not line.startswith("#") and "{" not in line
+    }
+    assert 0 < vals["vaura_batch_fill_ratio"] <= 1
+
+
+def test_batch_buckets_parse():
+    from scripts.serve import _parse_batch_buckets
+
+    assert _parse_batch_buckets(None, 8) == [8]
+    assert _parse_batch_buckets("1,4", 8) == [1, 4, 8]
+    assert _parse_batch_buckets([1, 4], 8) == [1, 4, 8]
+    # the CLI config overlay coerces "batch_buckets=1" to a bare int
+    assert _parse_batch_buckets(1, 8) == [1, 8]
+    with pytest.raises(ValueError, match="batch_buckets"):
+        _parse_batch_buckets("16", 8)
+    with pytest.raises(ValueError, match="batch_buckets"):
+        _parse_batch_buckets("0,8", 8)
+
+
+def test_batch_buckets_validation():
+    from scripts.serve import GenerationService
+    from vaura_tpu.config import assemble_config
+
+    cfg = dict(
+        assemble_config(
+            [f"config={REPO / 'configs/experiments/dummy.yaml'}"],
+            defaults_path=REPO / "configs" / "vaura_defaults.yaml",
+            base_dir=REPO,
+        )
+    )
+    cfg.update(batch=2, batch_buckets="3", duration=0.15)
+    with pytest.raises(ValueError, match="batch_buckets"):
+        GenerationService(cfg)
+    cfg.update(batch_buckets="1", aot_load="x.jaxexport")
+    with pytest.raises(ValueError, match="mutually"):
+        GenerationService(cfg)
