@@ -382,6 +382,69 @@ def test_override_hparams_backup_restore(ref_experiment):
 
 
 # ------------------------------------------------------------------ #
+# demo_utils: release-tar download/extract/convert handoff, offline
+# ------------------------------------------------------------------ #
+def test_demo_utils_release_tar_handoff(ref_experiment, tmp_path):
+    """``fetch_demo_checkpoints``/``load_demo_model`` driven end-to-end on a
+    synthetic release tar in the reference's distribution layout
+    (``utils/demo_utils.py:12-14,56-102``). ``download()`` short-circuits on
+    pre-placed artifacts, so the whole flow — tar extract, best-val-loss
+    pick over the extracted tree (skipping the junk decoy), hparams walk,
+    state-dict conversion — runs with zero egress."""
+    import tarfile
+
+    from vaura_tpu.utils import demo_utils
+    from vaura_tpu.utils.reference_ckpt import load_reference_experiment
+
+    cache = tmp_path / "checkpoints"
+    cache.mkdir()
+    with tarfile.open(cache / "v-aura-visual-sound.tar.gz", "w:gz") as tf:
+        tf.add(
+            ref_experiment["root"],
+            arcname=f"v-aura-visual-sound/{ref_experiment['root'].name}",
+        )
+    (cache / "avclip_epoch_best.pt").write_bytes(b"synchformer")
+
+    paths = demo_utils.fetch_demo_checkpoints(cache)
+    assert Path(paths["vaura_ckpt"]).name == ref_experiment["best"].name
+    assert Path(paths["avclip_ckpt"]).exists()
+    # idempotent: a second call reuses the extracted tree (no re-extract)
+    marker = cache / "v-aura-visual-sound" / ".extracted_once"
+    marker.write_text("1")
+    paths2 = demo_utils.fetch_demo_checkpoints(cache)
+    assert paths2["vaura_ckpt"] == paths["vaura_ckpt"]
+    assert marker.exists()
+
+    cfg, params, ckpt_path = demo_utils.load_demo_model(cache)
+    ref_cfg, ref_params, _ = load_reference_experiment(ref_experiment["root"])
+    assert cfg["sampler_config"]["params"] == ref_cfg["sampler_config"]["params"]
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    ref_flat = dict(jax.tree_util.tree_leaves_with_path(ref_params))
+    assert len(flat) == len(ref_flat)
+    for path, leaf in flat:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(ref_flat[path]))
+
+
+def test_demo_utils_offline_error_is_instructive(tmp_path, monkeypatch):
+    """With nothing cached and no network, the failure names both release
+    URLs and the manual convert path (reference demo_utils.py:12-14)."""
+    import urllib.request
+
+    from vaura_tpu.utils import demo_utils
+
+    def _no_net(*a, **k):
+        raise OSError("no route to host")
+
+    monkeypatch.setattr(urllib.request, "urlopen", _no_net)
+    with pytest.raises(RuntimeError) as exc:
+        demo_utils.fetch_demo_checkpoints(tmp_path / "empty")
+    msg = str(exc.value)
+    assert "convert_checkpoints.py" in msg
+    assert demo_utils.VAURA_CKPT_URL in msg
+    assert demo_utils.AVCLIP_CKPT_URL in msg
+
+
+# ------------------------------------------------------------------ #
 # converter CLI on the file
 # ------------------------------------------------------------------ #
 def test_convert_cli_on_reference_ckpt(ref_experiment, tmp_path):

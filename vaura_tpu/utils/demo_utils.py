@@ -53,9 +53,15 @@ def fetch_demo_checkpoints(cache_dir: str | Path = "./checkpoints") -> dict:
         extract_dir = cache / "v-aura-visual-sound"
         if not extract_dir.exists():
             with tarfile.open(tar_path) as tf:
-                tf.extractall(cache)
-        ckpts = sorted(extract_dir.rglob("*.ckpt"))
-        out["vaura_ckpt"] = str(ckpts[0]) if ckpts else None
+                # "data" filter: refuse absolute paths/links escaping the
+                # cache dir (and silences the 3.12+ extraction warning)
+                tf.extractall(cache, filter="data")
+        # best-val-loss pick over the extracted tree (the reference's
+        # resolve_ckpt_demo semantics, demo_utils.py:56-79) — never the
+        # alphabetically-first file
+        from vaura_tpu.utils.reference_ckpt import resolve_ckpt
+
+        out["vaura_ckpt"] = str(resolve_ckpt(extract_dir))
         out["avclip_ckpt"] = str(
             download(AVCLIP_CKPT_URL, cache / "avclip_epoch_best.pt")
         )
