@@ -128,6 +128,37 @@ def test_async_save_semantics(tmp_path):
     mgr.finalize()  # idempotent
 
 
+def test_ledger_rebuilt_across_instances(tmp_path):
+    """A resumed process's manager must prune top-k against checkpoints
+    already on disk, not only its own saves (the reference's Lightning
+    ModelCheckpoint carries its ledger in the resumed callback state)."""
+    mgr1 = CheckpointManager(tmp_path / "ckpts", top_k=2)
+    mgr1.save(_state(0), epoch=0, step=1, val_loss=1.0)
+    mgr1.save(_state(1), epoch=1, step=2, val_loss=2.0)
+    # fresh manager in the same dir (process restart / resume)
+    mgr2 = CheckpointManager(tmp_path / "ckpts", top_k=2)
+    mgr2.save(_state(2), epoch=2, step=3, val_loss=0.5)
+    names = {
+        p.name for p in (tmp_path / "ckpts").iterdir()
+        if p.name.startswith("epoch=")
+    }
+    assert len(names) == 2, names
+    assert any("val_loss=0.500" in n for n in names)
+    assert any("val_loss=1.000" in n for n in names)  # 2.0 pruned
+
+
+def test_read_meta(tmp_path):
+    mgr = CheckpointManager(tmp_path / "ckpts")
+    mgr.save(_state(), epoch=3, step=30, val_loss=1.25,
+             metadata={"early_stop_best": 1.25, "early_stop_count": 1})
+    meta = CheckpointManager.read_meta(tmp_path / "ckpts" / "last")
+    assert meta["epoch"] == 3 and meta["step"] == 30
+    assert meta["early_stop_best"] == 1.25 and meta["early_stop_count"] == 1
+    em = mgr.save_emergency(_state(), epoch=7)
+    assert CheckpointManager.read_meta(em) == {"epoch": 7}
+    assert CheckpointManager.read_meta(tmp_path / "ckpts" / "frozen") is None
+
+
 def test_restore_trainable_params_from_training_ckpt(tmp_path):
     """restore_trainable_params must read the params subtree out of a
     training checkpoint by rebuilding the optimizer skeleton abstractly."""

@@ -59,6 +59,66 @@ def test_fit_and_test(tmp_path):
     assert np.isfinite(metrics["test_loss"])
 
 
+@pytest.mark.slow
+def test_resume_continues_epochs(tmp_path):
+    """Resuming from a checkpoint continues at the saved epoch with the
+    early-stop callback state restored (reference: Lightning ckpt_path
+    resume restores model+optimizer+epoch, scripts/train.py:93)."""
+    system = VauraSystem(
+        sampler_config=SAMPLER_TINY,
+        dac_config=DAC_TINY,
+        encoder_config=ENC_TINY,
+        freeze_feature_extractor=True,
+    )
+    params = system.init_params(
+        jax.random.PRNGKey(0), frames_per_segment=4, frame_hw=16
+    )
+    dm = DummyDataModule(
+        batch_size=2,
+        frame_shape=(16, 16),
+        video_length=0.64,
+        sample_rate_audio=400,
+        sample_rate_video=25.0,
+        frames_per_clip=4,
+        num_clips=2,
+    )
+    dm.setup()
+    trainer_cfg = {
+        "max_epochs": 2,
+        "limit_train_batches": 1,
+        "limit_val_batches": 1,
+        "limit_test_batches": 1,
+        "early_stop_patience": 10,
+    }
+    model_cfg = {"learning_rate": 1e-3, "weight_decay": 0.0}
+    dirs = init_log_directory(tmp_path / "logs", "resume-test", run_name="a")
+    t1 = Trainer(system, trainer_cfg, model_cfg, dirs)
+    r1 = t1.fit(params, dm, jax.random.PRNGKey(1))
+    assert int(r1["state"].step) == 2  # 2 epochs x 1 batch
+    from vaura_tpu.train.checkpoint import CheckpointManager
+
+    last = dirs["checkpoints"] / "last"
+    meta1 = CheckpointManager.read_meta(last)
+    assert meta1["epoch"] == 1
+
+    # resume into a fresh run dir with a higher epoch budget: exactly one
+    # more epoch (2) runs, and its checkpoint carries the resumed state
+    dirs2 = init_log_directory(tmp_path / "logs", "resume-test", run_name="b")
+    cfg2 = dict(trainer_cfg, max_epochs=3)
+    t2 = Trainer(system, cfg2, model_cfg, dirs2)
+    # fresh param buffers: the first fit's train_step donated the originals
+    params2 = system.init_params(
+        jax.random.PRNGKey(0), frames_per_segment=4, frame_hw=16
+    )
+    r2 = t2.fit(params2, dm, jax.random.PRNGKey(2), resume_path=str(last))
+    assert int(r2["state"].step) == 3  # one more epoch, not three
+    meta2 = CheckpointManager.read_meta(dirs2["checkpoints"] / "last")
+    assert meta2["epoch"] == 2
+    assert t2.early_stop.best == meta1["early_stop_best"] or (
+        t2.early_stop.best <= meta1["early_stop_best"]
+    )
+
+
 def test_early_stopping_logic():
     from vaura_tpu.train.loop import EarlyStopping
 

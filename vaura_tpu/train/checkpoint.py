@@ -36,7 +36,20 @@ class CheckpointManager:
         self.top_k = top_k
         self.save_last = save_last
         self.async_save = async_save
-        self._saved: list[tuple[float, Path]] = []
+        # Rebuild the top-k ledger from checkpoints already on disk so a
+        # resumed run prunes against them instead of only its own saves
+        # (the reference's Lightning ModelCheckpoint keeps its ledger in
+        # the resumed callback state; ours is derivable from meta.json)
+        self._saved: list[tuple[float, Path]] = sorted(
+            (
+                (float(meta["val_loss"]), p)
+                for p in self.ckpt_dir.iterdir()
+                if p.is_dir() and not p.is_symlink()
+                for meta in [self.read_meta(p)]
+                if meta is not None and "val_loss" in meta
+            ),
+            key=lambda t: t[0],
+        )
         # async_save overlaps checkpoint serialization/IO with the next
         # training epoch (``trainer.async_checkpointing``). Orbax copies
         # device arrays to host synchronously inside save(), then writes
@@ -155,6 +168,29 @@ class CheckpointManager:
         best = resolve_best_checkpoint(self.ckpt_dir)
         assert best is not None, f"no checkpoints under {self.ckpt_dir}"
         return self.restore(best, abstract_payload)
+
+    @staticmethod
+    def read_meta(path: str | Path) -> Optional[dict]:
+        """Bookkeeping metadata of a checkpoint: ``meta.json`` if present
+        (epoch/step/val_loss + any extras the saver attached); emergency
+        checkpoints carry only the epoch, parsed from their
+        ``e{epoch}_last_at_...`` name (reference ``train_utils.py:101-110``
+        naming). Returns None for unrecognizable paths."""
+        import re
+
+        path = Path(path)
+        if path.is_symlink():
+            path = path.parent / path.readlink()
+        meta_file = path / "meta.json"
+        if meta_file.exists():
+            try:
+                return json.loads(meta_file.read_text())
+            except (OSError, json.JSONDecodeError):
+                return None
+        m = re.match(r"e(\d+)_last_at_", path.name)
+        if m:
+            return {"epoch": int(m.group(1))}
+        return None
 
 
 def abstract_like(tree: Any) -> Any:

@@ -142,6 +142,7 @@ class Trainer:
             mu_dtype=self.model_cfg.get("adam_mu_dtype"),
         )
         state = TrainState.create(trainable, tx)
+        start_epoch = 0
         if resume_path:
             payload = self.ckpt.restore(
                 resume_path,
@@ -154,7 +155,20 @@ class Trainer:
                 opt_state=payload["opt_state"],
                 step=payload["step"],
             )
-            logger.info("Resumed from %s at step %s", resume_path, state.step)
+            # resume at the saved epoch + callback state (the reference's
+            # Lightning ckpt_path resume restores both, scripts/train.py:93)
+            meta = CheckpointManager.read_meta(resume_path) or {}
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            self.early_stop.best = float(
+                meta.get("early_stop_best", self.early_stop.best)
+            )
+            self.early_stop.count = int(
+                meta.get("early_stop_count", self.early_stop.count)
+            )
+            logger.info(
+                "Resumed from %s at step %s (epoch %d)",
+                resume_path, state.step, start_epoch,
+            )
 
         self.ckpt.save_frozen(frozen)
         train_step = make_train_step(system)
@@ -173,8 +187,9 @@ class Trainer:
 
         global_step = int(state.step)
         stop = False
+        epoch = start_epoch
         try:
-            for epoch in range(max_epochs):
+            for epoch in range(start_epoch, max_epochs):
                 if stop:
                     break
                 train_loader.set_epoch(epoch)
@@ -265,15 +280,21 @@ class Trainer:
                     "epoch %d: train %.4f val %.4f (%.1fs)",
                     epoch, train_loss, val_loss, time.time() - t_epoch,
                 )
-                self.ckpt.save(state, epoch, global_step, val_loss)
                 if epoch + 1 >= min_epochs and self.early_stop.update(val_loss):
                     logger.info("early stopping at epoch %d", epoch)
                     stop = True
+                self.ckpt.save(
+                    state, epoch, global_step, val_loss,
+                    metadata={
+                        "early_stop_best": self.early_stop.best,
+                        "early_stop_count": self.early_stop.count,
+                    },
+                )
                 if self.fast_dev_run:
                     break
         except BaseException:
             # emergency checkpoint (reference scripts/train.py:91-98)
-            self.ckpt.save_emergency(state, epoch if "epoch" in dir() else 0)
+            self.ckpt.save_emergency(state, epoch)
             raise
         finally:
             # commit any in-flight async save before the run returns
