@@ -147,6 +147,56 @@ def test_ledger_rebuilt_across_instances(tmp_path):
     assert any("val_loss=1.000" in n for n in names)  # 2.0 pruned
 
 
+def test_resume_save_worse_keeps_last_target(tmp_path):
+    """Advisor r3 (medium): after a same-dir resume, saving a checkpoint
+    whose val_loss is worse than everything already on disk must NOT prune
+    the just-saved weights out from under the `last` symlink."""
+    mgr1 = CheckpointManager(tmp_path / "ckpts", top_k=2)
+    mgr1.save(_state(0), epoch=0, step=1, val_loss=1.0)
+    mgr1.save(_state(1), epoch=1, step=2, val_loss=2.0)
+    # process restart: fresh manager rebuilds the ledger from disk, then
+    # saves a checkpoint worse than both existing ones
+    mgr2 = CheckpointManager(tmp_path / "ckpts", top_k=2)
+    path = mgr2.save(_state(2), epoch=2, step=3, val_loss=3.0)
+    assert path.exists(), "just-saved checkpoint was pruned"
+    last = tmp_path / "ckpts" / "last"
+    assert last.is_symlink()
+    assert (last.parent / last.readlink()).exists(), "`last` dangles"
+    assert "val_loss=3.000" in str(last.readlink())
+    # top-k survivors unchanged
+    names = {p.name for p in (tmp_path / "ckpts").iterdir()
+             if p.name.startswith("epoch=")}
+    assert any("val_loss=1.000" in n for n in names)
+    assert any("val_loss=2.000" in n for n in names)
+    # once `last` moves to a newer save, the ex-protected worse ckpt and
+    # everything outside the new top-k get pruned
+    mgr2.save(_state(3), epoch=3, step=4, val_loss=0.9)
+    names = {p.name for p in (tmp_path / "ckpts").iterdir()
+             if p.name.startswith("epoch=")}
+    assert len(names) == 2, names
+    assert any("val_loss=0.900" in n for n in names)
+    assert any("val_loss=1.000" in n for n in names)
+    assert (last.parent / last.readlink()).exists()
+
+
+def test_save_overwrite_same_name_no_stale_ledger(tmp_path):
+    """Advisor r3 (low): overwriting a same-named checkpoint must not leave
+    two ledger entries for one path (the stale one could prune the fresh
+    write while the duplicate holds a top-k slot at a deleted dir)."""
+    mgr = CheckpointManager(tmp_path / "ckpts", top_k=2)
+    p1 = mgr.save(_state(0), epoch=0, step=1, val_loss=1.0)
+    p2 = mgr.save(_state(1), epoch=0, step=1, val_loss=1.0)  # same name
+    assert p1 == p2
+    assert len(mgr._saved) == 1
+    # fill top-k: the overwritten path must survive exactly once
+    mgr.save(_state(2), epoch=1, step=2, val_loss=0.5)
+    mgr.save(_state(3), epoch=2, step=3, val_loss=0.7)
+    names = {p.name for p in (tmp_path / "ckpts").iterdir()
+             if p.name.startswith("epoch=")}
+    assert len(names) <= 3  # top-2 + possibly the `last` target
+    assert p2.exists() or not any("step=1-" in n for n in names)
+
+
 def test_read_meta(tmp_path):
     mgr = CheckpointManager(tmp_path / "ckpts")
     mgr.save(_state(), epoch=3, step=30, val_loss=1.25,
@@ -154,8 +204,18 @@ def test_read_meta(tmp_path):
     meta = CheckpointManager.read_meta(tmp_path / "ckpts" / "last")
     assert meta["epoch"] == 3 and meta["step"] == 30
     assert meta["early_stop_best"] == 1.25 and meta["early_stop_count"] == 1
-    em = mgr.save_emergency(_state(), epoch=7)
-    assert CheckpointManager.read_meta(em) == {"epoch": 7}
+    em = mgr.save_emergency(
+        _state(), epoch=7,
+        metadata={"early_stop_best": 2.5, "early_stop_count": 1, "step": 70},
+    )
+    em_meta = CheckpointManager.read_meta(em)
+    assert em_meta["epoch"] == 7 and em_meta["epoch_complete"] is False
+    assert em_meta["early_stop_best"] == 2.5 and em_meta["step"] == 70
+    # legacy emergency dirs (no meta.json) parse epoch from the name and
+    # are still treated as incomplete
+    (em / "meta.json").unlink()
+    legacy = CheckpointManager.read_meta(em)
+    assert legacy == {"epoch": 7, "epoch_complete": False}
     assert CheckpointManager.read_meta(tmp_path / "ckpts" / "frozen") is None
 
 

@@ -114,9 +114,68 @@ def test_resume_continues_epochs(tmp_path):
     assert int(r2["state"].step) == 3  # one more epoch, not three
     meta2 = CheckpointManager.read_meta(dirs2["checkpoints"] / "last")
     assert meta2["epoch"] == 2
-    assert t2.early_stop.best == meta1["early_stop_best"] or (
-        t2.early_stop.best <= meta1["early_stop_best"]
+    # early-stop state is monotone across the resumed epoch
+    assert meta2["early_stop_best"] <= meta1["early_stop_best"]
+    # exact-restore check: a fit whose epoch budget is already exhausted
+    # (start_epoch == max_epochs) runs zero epochs, so the early-stop state
+    # after fit is exactly what resume restored from the checkpoint meta
+    dirs3 = init_log_directory(tmp_path / "logs", "resume-test", run_name="c")
+    t3 = Trainer(system, dict(trainer_cfg, max_epochs=2), model_cfg, dirs3)
+    params3 = system.init_params(
+        jax.random.PRNGKey(0), frames_per_segment=4, frame_hw=16
     )
+    t3.fit(params3, dm, jax.random.PRNGKey(3), resume_path=str(last))
+    assert t3.early_stop.best == meta1["early_stop_best"]
+    assert t3.early_stop.count == meta1["early_stop_count"]
+
+
+@pytest.mark.slow
+def test_emergency_resume_reruns_interrupted_epoch(tmp_path):
+    """Resuming from an emergency crash checkpoint (epoch N interrupted)
+    re-runs epoch N instead of skipping its remainder, and restores the
+    early-stop state the crash save carried (advisor r3; the reference's
+    Lightning resume re-runs the in-progress epoch)."""
+    system = VauraSystem(
+        sampler_config=SAMPLER_TINY,
+        dac_config=DAC_TINY,
+        encoder_config=ENC_TINY,
+        freeze_feature_extractor=True,
+    )
+    params = system.init_params(
+        jax.random.PRNGKey(0), frames_per_segment=4, frame_hw=16
+    )
+    dm = DummyDataModule(
+        batch_size=2, frame_shape=(16, 16), video_length=0.64,
+        sample_rate_audio=400, sample_rate_video=25.0,
+        frames_per_clip=4, num_clips=2,
+    )
+    dm.setup()
+    trainer_cfg = {
+        "max_epochs": 1, "limit_train_batches": 1, "limit_val_batches": 1,
+        "early_stop_patience": 10,
+    }
+    model_cfg = {"learning_rate": 1e-3, "weight_decay": 0.0}
+    dirs = init_log_directory(tmp_path / "logs", "em-resume", run_name="a")
+    t1 = Trainer(system, trainer_cfg, model_cfg, dirs)
+    r1 = t1.fit(params, dm, jax.random.PRNGKey(1))
+    assert int(r1["state"].step) == 1
+    # simulate a crash during epoch 1: emergency save carries the callback
+    # state and marks epoch 1 incomplete
+    em = t1.ckpt.save_emergency(
+        r1["state"], epoch=1,
+        metadata={"early_stop_best": t1.early_stop.best,
+                  "early_stop_count": t1.early_stop.count},
+    )
+    dirs2 = init_log_directory(tmp_path / "logs", "em-resume", run_name="b")
+    t2 = Trainer(system, dict(trainer_cfg, max_epochs=2), model_cfg, dirs2)
+    params2 = system.init_params(
+        jax.random.PRNGKey(0), frames_per_segment=4, frame_hw=16
+    )
+    r2 = t2.fit(params2, dm, jax.random.PRNGKey(2), resume_path=str(em))
+    # epoch 1 re-ran (a completed-epoch ckpt at epoch=1 would run nothing)
+    assert int(r2["state"].step) == 2
+    # early-stop state was restored (not reset to +inf) before the re-run
+    assert t2.early_stop.best <= t1.early_stop.best
 
 
 def test_early_stopping_logic():

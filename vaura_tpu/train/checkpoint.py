@@ -85,11 +85,13 @@ class CheckpointManager:
         path, meta, val_loss = self._pending
         self._pending = None
         (path / "meta.json").write_text(json.dumps(meta))
+        # An overwritten same-named checkpoint must not keep its stale
+        # ledger entry: pruning via the stale tuple would rmtree the
+        # freshly written directory while the duplicate kept occupying a
+        # top-k slot pointing at a deleted path.
+        self._saved = [t for t in self._saved if t[1] != path]
         self._saved.append((val_loss, path))
         self._saved.sort(key=lambda t: t[0])
-        while len(self._saved) > self.top_k:
-            _, worst = self._saved.pop()
-            shutil.rmtree(worst, ignore_errors=True)
         if self.save_last:
             last = self.ckpt_dir / "last"
             if last.is_symlink() or last.exists():
@@ -98,6 +100,18 @@ class CheckpointManager:
                 else:
                     shutil.rmtree(last, ignore_errors=True)
             last.symlink_to(path.name)
+        # Keep the top-k best by val_loss PLUS the just-saved path while
+        # save_last points at it (Lightning's save_last keeps last.ckpt
+        # regardless of top-k — otherwise a resume into a dir of better
+        # checkpoints would delete the newest weights and leave `last`
+        # dangling). The protected entry stays in the ledger and becomes
+        # prunable once `last` moves to a newer save.
+        keep = {p for _, p in self._saved[: self.top_k]}
+        if self.save_last:
+            keep.add(path)
+        for entry in [t for t in self._saved if t[1] not in keep]:
+            self._saved.remove(entry)
+            shutil.rmtree(entry[1], ignore_errors=True)
 
     # ------------------------------------------------------------------ #
     def save_frozen(self, frozen_params: Dict[str, Any]) -> None:
@@ -142,9 +156,16 @@ class CheckpointManager:
             self.finalize()
         return path
 
-    def save_emergency(self, state: Any, epoch: int, tag: str = "") -> Path:
+    def save_emergency(
+        self, state: Any, epoch: int, tag: str = "",
+        metadata: Optional[dict] = None,
+    ) -> Path:
         """Crash checkpoint (reference ``maybe_save_checkpoint``,
-        ``train_utils.py:101-110``). Always synchronous."""
+        ``train_utils.py:101-110``). Always synchronous. Writes a
+        ``meta.json`` marking the epoch incomplete (``epoch_complete:
+        false``) so a resume re-runs the interrupted epoch instead of
+        skipping its remainder, and carrying any callback state passed in
+        ``metadata`` (early-stop best/count)."""
         from vaura_tpu.utils.experiment import timestamp_dirname
 
         self.finalize()
@@ -154,6 +175,11 @@ class CheckpointManager:
                    "step": state.step}
         self._save_raw(path.resolve(), payload)
         self._ckptr.wait_until_finished()
+        meta = {"epoch": int(epoch), "epoch_complete": False}
+        meta.update(metadata or {})
+        # no val_loss key: emergency saves never enter the top-k ledger
+        meta.pop("val_loss", None)
+        (path / "meta.json").write_text(json.dumps(meta))
         return path
 
     # ------------------------------------------------------------------ #
@@ -189,7 +215,9 @@ class CheckpointManager:
                 return None
         m = re.match(r"e(\d+)_last_at_", path.name)
         if m:
-            return {"epoch": int(m.group(1))}
+            # legacy emergency checkpoint without meta.json: the epoch was
+            # interrupted mid-training, so mark it incomplete
+            return {"epoch": int(m.group(1)), "epoch_complete": False}
         return None
 
 

@@ -158,7 +158,15 @@ class Trainer:
             # resume at the saved epoch + callback state (the reference's
             # Lightning ckpt_path resume restores both, scripts/train.py:93)
             meta = CheckpointManager.read_meta(resume_path) or {}
-            start_epoch = int(meta.get("epoch", -1)) + 1
+            # a crash checkpoint marks its epoch incomplete -> re-run that
+            # epoch (Lightning resume re-runs the in-progress epoch); a
+            # regular end-of-epoch save continues at the next one
+            saved_epoch = int(meta.get("epoch", -1))
+            start_epoch = (
+                saved_epoch
+                if meta.get("epoch_complete") is False
+                else saved_epoch + 1
+            )
             self.early_stop.best = float(
                 meta.get("early_stop_best", self.early_stop.best)
             )
@@ -293,8 +301,17 @@ class Trainer:
                 if self.fast_dev_run:
                     break
         except BaseException:
-            # emergency checkpoint (reference scripts/train.py:91-98)
-            self.ckpt.save_emergency(state, epoch)
+            # emergency checkpoint (reference scripts/train.py:91-98);
+            # carries the callback state so a resume doesn't silently
+            # reset early stopping
+            self.ckpt.save_emergency(
+                state, epoch,
+                metadata={
+                    "step": global_step,
+                    "early_stop_best": self.early_stop.best,
+                    "early_stop_count": self.early_stop.count,
+                },
+            )
             raise
         finally:
             # commit any in-flight async save before the run returns
