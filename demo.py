@@ -85,10 +85,17 @@ def main() -> None:
     args.out.mkdir(parents=True, exist_ok=True)
     video = args.video
     if video is None:
-        video = args.out / "demo_input.mp4"
-        if not video.exists():
-            logger.info("synthesizing demo video at %s", video)
-            synthesize_demo_video(video)
+        # prefer the bundled demo clips (data/demo, reference demo.ipynb
+        # cell 3); fall back to synthesizing one
+        bundled = sorted((Path(__file__).parent / "data" / "demo").glob("*.mp4"))
+        if bundled:
+            video = bundled[0]
+            logger.info("using bundled demo clip %s", video)
+        else:
+            video = args.out / "demo_input.mp4"
+            if not video.exists():
+                logger.info("synthesizing demo video at %s", video)
+                synthesize_demo_video(video)
 
     # build the flagship system from the default module configs — or, for
     # a reference-distribution checkpoint (Lightning .ckpt / experiment

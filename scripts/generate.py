@@ -128,7 +128,22 @@ def generate(cfg: dict) -> dict:
                 ckpt_path = str(best) if best else None
             if paths["hparams"] is not None:
                 hparams = load_hparams(paths["hparams"])
-        model_cfg = (hparams or cfg)["model"]
+        source = hparams if hparams and "model" in hparams else cfg
+        if "model" not in source:
+            # No experiment and no inline model section: fall back to the
+            # flagship defaults so shipped generate configs run out of the
+            # box (random weights, like demo.py without --ckpt).
+            from vaura_tpu.config.loader import load_config
+
+            repo_root = Path(__file__).resolve().parents[1]
+            source = load_config(
+                repo_root / "configs" / "vaura_defaults.yaml", repo_root
+            )
+            logger.warning(
+                "no experiment_path/model config: using flagship defaults "
+                "with random weights"
+            )
+        model_cfg = source["model"]
         overridden = cfg.get("overridden_hparams") or {}
         for k, v in overridden.items():
             model_cfg[k] = v
@@ -191,10 +206,15 @@ def generate(cfg: dict) -> dict:
     with open(out_dir / "config.yaml", "w") as f:
         yaml.safe_dump(cfg, f)
 
-    datamodule = get_datamodule_from_type(
-        cfg["dataloader"]["dataset_type"], cfg["dataloader"]
-    )
-    split = cfg.get("dataset_to_use", "test")
+    # `dataset_to_use` / `samples_per_video` are action-level keys carried
+    # inside the dataloader section (reference generate.py:135-137 pops
+    # them before the datamodule sees the kwargs)
+    dl_cfg = dict(cfg["dataloader"])
+    split = str(
+        dl_cfg.pop("dataset_to_use", cfg.get("dataset_to_use", "test"))
+    ).lower()
+    dl_cfg.pop("samples_per_video", None)
+    datamodule = get_datamodule_from_type(dl_cfg["dataset_type"], dl_cfg)
     datamodule.setup(split)
     loader = {
         "train": datamodule.train_dataloader,

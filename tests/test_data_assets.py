@@ -161,6 +161,91 @@ def test_imagebind_exclusion_on_real_split(tmp_path):
     assert names[1] in stems  # scored 0.9 -> kept
 
 
+# --------------------------------------------------------------------- #
+# bundled demo / VAS / ImageBind assets (upstream: git-LFS-only; shipped
+# here as schema-identical synthetic stand-ins, scripts/make_demo_assets.py)
+# --------------------------------------------------------------------- #
+DEMO_CLIPS = (
+    "76UZQRJq028_181000_191000.mp4",
+    "Vi7kQhNcaOs_114000_124000.mp4",
+    "xK-7W3ZPd3o_94000_104000.mp4",
+)
+
+
+def test_demo_assets_shipped():
+    d = DATA / "demo"
+    for name in DEMO_CLIPS:
+        f = d / name
+        assert f.exists() and f.stat().st_size > 50_000, f
+    assert (d / "dataloader_config.yaml").exists()
+    lines = (d / "test" / "data.jsonl").read_text().splitlines()
+    assert len(lines) == len(DEMO_CLIPS)
+    for ln in lines:
+        meta = json.loads(ln)
+        p = REPO / meta["filepath"]
+        assert p.exists(), p
+        assert meta["duration"] > 5.0
+        assert meta["video_codec_name"] == "h264"
+        assert meta["audio_codec_name"] == "aac"
+
+
+def test_vas_assets_shipped_and_resolvable():
+    lines = (DATA / "vas" / "test" / "data.jsonl").read_text().splitlines()
+    assert len(lines) >= 4
+    for ln in lines:
+        meta = json.loads(ln)
+        assert (REPO / meta["filepath"]).exists()
+    # the generate_vas config points test_meta at the dataset ROOT; the
+    # datamodule appends the split subdir (reference
+    # video_datamodule.py:87-90)
+    from vaura_tpu.data.video_dataset import VideoDataModule
+
+    dm = VideoDataModule(batch_size=1, test_meta=str(DATA / "vas"))
+    dm.setup("test")
+    assert len(dm.datasets["test"]) >= 4
+
+
+def test_demo_dataloader_config_loads_one_item():
+    """data/demo/dataloader_config.yaml drives the real on-the-fly
+    resample path (30 fps / 48 kHz clips -> 25 fps / 44.1 kHz mono)."""
+    import numpy as np
+    import yaml
+
+    from vaura_tpu.data import get_datamodule_from_type
+
+    cfg = yaml.safe_load((DATA / "demo" / "dataloader_config.yaml").read_text())
+    cfg.pop("dataset_to_use", None)
+    dm = get_datamodule_from_type(cfg.pop("dataset_type"), cfg)
+    dm.setup("test")
+    item = next(iter(dm.test_dataloader()))
+    frames, audio = np.asarray(item["frames"]), np.asarray(item["audio"])
+    assert frames.shape[1:] == (4, 3, 16, 224, 224)  # 4 segs x 16f @ 224^2
+    assert audio.shape[-1] == int(2.56 * 44100)
+    assert frames.dtype == np.float32
+
+
+def test_shipped_imagebind_scores_schema():
+    d = DATA / "excluded_files"
+    raw = json.loads(
+        (d / "filtered_examples_vggsound" / "imagebind_scores.json").read_text()
+    )
+    norm = json.loads(
+        (d / "filtered_examples_vggsound" / "imagebind_scores_norm.json").read_text()
+    )
+    assert set(raw) == set(norm) and len(raw) > 10_000
+    assert all(0.0 <= v <= 1.0 for v in list(norm.values())[:1000])
+    # norm covers the full [0,1] range (min-max normalized)
+    vals = list(norm.values())
+    assert min(vals) == 0.0 and max(vals) == 1.0
+    # keys are split members (scores cover the shipped split lists)
+    members = set(_read_split(DATA / "splits/vggsound/vggsound_test.txt"))
+    assert members & set(raw)
+    aud = json.loads(
+        (d / "filtered_examples_audioset" / "imagebind_scores_audioset.json").read_text()
+    )
+    assert len(aud) > 10_000
+
+
 def test_insync_exclusion_on_real_split(tmp_path):
     names = _read_split(DATA / "splits/visualsound/visualsound_test.txt")[:3]
     # documented header-less format: vid,offset,vstart,is_correct,is_tol

@@ -65,6 +65,43 @@ def test_generate_configs_load():
         assert "dataloader" in cfg
 
 
+def test_ib_filtering_study_family():
+    """The 5-file ib_filtering_study family (reference configs/experiments/
+    vggsound/avclip/ib_filtering_study/): base recipe with filtering off,
+    four variants sweeping the ImageBind threshold 0.0-0.3."""
+    d = REPO / "configs/experiments/vggsound/avclip/ib_filtering_study"
+    base = _assemble(
+        str(d / "9cb-viscond-avclip-channel_concat-llama_like.yaml")
+    )
+    assert base["dataloader"]["filter_by_imagebind_score"] is False
+    system = build_system(base["model"], precision=base["trainer"]["precision"])
+    assert system.sampler_config.num_codebooks == 9
+    for i, thr in enumerate((0.0, 0.1, 0.2, 0.3)):
+        cfg = _assemble(
+            str(d / f"9cb-viscond-avclip-channel_concat-llama_like-ib_0{i}.yaml")
+        )
+        dl = cfg["dataloader"]
+        assert dl["filter_by_imagebind_score"] is True
+        assert dl["imagebind_score_threshold"] == pytest.approx(thr)
+        # the score file the family points at is shipped
+        assert (REPO / dl["imagebind_score_file_path"].lstrip("./")).exists() or (
+            REPO / dl["imagebind_score_file_path"][2:]
+        ).exists()
+
+
+def test_parallel_pattern_module_config():
+    import yaml
+
+    from vaura_tpu.config.registry import instantiate_from_config
+
+    cfg = yaml.safe_load(
+        (REPO / "configs/modules/codebook_patterns/parallel_9cbs.yaml").read_text()
+    )
+    provider = instantiate_from_config(cfg)
+    assert type(provider).__name__ == "ParallelPatternProvider"
+    assert provider.n_q == 9
+
+
 # Paths a shipped config may reference without the file being in-repo.
 # Each entry must be user-provided even in the reference distribution
 # (downloaded dataset metadata / git-LFS-only assets) and documented in
@@ -74,13 +111,12 @@ USER_PROVIDED_DATA = {
     # not ship it either (user downloads VGGSound.csv;
     # reference configs/generate_vgg.yaml:45)
     "data/meta/vggsound/vggsound.csv",
-    # VAS JSONL metadata: git-LFS-only upstream (data/README.md)
-    "data/vas",
 }
 
 _DATA_PATH_KEYS = (
     "split_dir", "meta_file", "excluded_files", "included_files",
-    "fixed_start_pts_file", "imagebind_score_file", "insync_file",
+    "fixed_start_pts_file", "imagebind_score_file",
+    "imagebind_score_file_path", "insync_file", "insync_file_path",
     "test_meta", "train_meta", "val_meta", "data_dir", "codes_dir",
     "annotations_file",
 )

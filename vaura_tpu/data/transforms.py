@@ -279,24 +279,69 @@ class AudioLoudnessNormalize:
 
 
 class AudioStereoToMono:
+    def __init__(self, keepdim: bool = True):
+        # reference audio_transforms.py:162-168
+        self.keepdim = keepdim
+
     def __call__(self, wav):
         wav = np.atleast_2d(np.asarray(wav, np.float32))
-        return wav.mean(axis=0, keepdims=True)
+        return wav.mean(axis=0, keepdims=self.keepdim)
 
 
 class AudioResample:
-    def __init__(self, orig_freq: int, new_freq: int):
-        self.orig = orig_freq
-        self.new = new_freq
+    """Polyphase resample. Two constructor surfaces: explicit
+    ``(orig_freq, new_freq)``, or the reference's ``(target_sr,
+    clip_duration)`` where the source rate is inferred per call from the
+    waveform length (reference audio_transforms.py:171-182)."""
+
+    def __init__(
+        self,
+        orig_freq: Optional[int] = None,
+        new_freq: Optional[int] = None,
+        target_sr: Optional[int] = None,
+        clip_duration: Optional[float] = None,
+    ):
+        if target_sr is not None:
+            assert clip_duration is not None, (
+                "AudioResample(target_sr=...) needs clip_duration"
+            )
+            self.orig, self.new = None, int(target_sr)
+            self.clip_duration = float(clip_duration)
+        else:
+            assert orig_freq is not None and new_freq is not None
+            self.orig, self.new = int(orig_freq), int(new_freq)
+            self.clip_duration = None
 
     def __call__(self, wav):
-        return resample_poly(np.asarray(wav, np.float32), self.orig, self.new)
+        wav = np.asarray(wav, np.float32)
+        orig = (
+            self.orig
+            if self.orig is not None
+            else int(round(wav.shape[-1] / self.clip_duration))
+        )
+        return resample_poly(wav, orig, self.new)
 
 
 class AudioTrim:
-    def __init__(self, max_len_sec: Optional[float] = None, sample_rate: int = 44100):
+    """Trim to a maximum length. Accepts ``(max_len_sec, sample_rate)``
+    or the reference's ``(duration, sr)`` names
+    (reference audio_transforms.py:185-192)."""
+
+    def __init__(
+        self,
+        max_len_sec: Optional[float] = None,
+        sample_rate: int = 44100,
+        duration: Optional[float] = None,
+        sr: Optional[int] = None,
+    ):
+        if duration is not None:
+            max_len_sec = duration
+        if sr is not None:
+            sample_rate = sr
         self.max_len = (
-            int(max_len_sec * sample_rate) if max_len_sec is not None else None
+            math.ceil(max_len_sec * sample_rate)
+            if max_len_sec is not None
+            else None
         )
 
     def __call__(self, wav):

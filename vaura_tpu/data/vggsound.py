@@ -288,7 +288,11 @@ class VggSoundDataset(Dataset):
                         if line.strip()
                     }
             elif p.is_dir():
-                for sub in p.iterdir():
+                # only *.txt line-lists count as exclusion files in a dir —
+                # the reference dir also holds the ImageBind score JSONs,
+                # which are consumed via imagebind_score_file_path instead
+                # (reference vggsound_dataset.py:297-302)
+                for sub in p.glob("*.txt"):
                     out |= read_list(sub)
             return out
 

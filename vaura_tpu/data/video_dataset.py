@@ -240,6 +240,14 @@ class VideoDataModule(DataModule):
         meta = self.metas.get(split) or self.data_dir
         if meta is None:
             raise ValueError(f"no metadata path for split {split}")
+        # a dataset-root dir holds per-split subdirs (reference
+        # video_datamodule.py:64-90 appends `<split>/` before looking for
+        # data.jsonl, e.g. ./data/vas -> vas/test/data.jsonl)
+        mp = Path(meta)
+        if mp.is_dir() and not any(
+            (mp / c).exists() for c in ("data.jsonl", "data.jsonl.gz")
+        ) and (mp / split).is_dir():
+            meta = mp / split
         self.datasets[split] = VideoDataset.from_meta_file(
             meta,
             split=split,

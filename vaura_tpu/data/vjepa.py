@@ -230,10 +230,17 @@ def _vjepa_module(dataset_cls):
                 raise ValueError(f"no metadata path for split {split}")
             path = Path(meta)
             if path.is_dir():
-                for cand in ("data.jsonl", "data.jsonl.gz"):
-                    if (path / cand).exists():
-                        path = path / cand
-                        break
+                # a dataset-root dir holds per-split subdirs (reference
+                # video_datamodule.py:64-90 appends `<split>/` before
+                # looking for data.jsonl, e.g. ./data/vas -> vas/test/)
+                for base in (path, path / split):
+                    for cand in ("data.jsonl", "data.jsonl.gz"):
+                        if (base / cand).exists():
+                            path = base / cand
+                            break
+                    else:
+                        continue
+                    break
             self.datasets[split] = dataset_cls(
                 split=split,
                 metadata=load_video_meta(path),
