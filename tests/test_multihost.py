@@ -15,6 +15,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 REPO = Path(__file__).resolve().parents[1]
 
 WORKER = r"""
@@ -73,6 +75,89 @@ print(f"WORKER-OK pid={pid} sum={val}")
 """
 
 
+TRAIN_WORKER = r"""
+import os, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.environ["VAURA_REPO"])
+from vaura_tpu.parallel.multihost import initialize_distributed
+
+pid = int(os.environ["VAURA_PROC_ID"])
+initialize_distributed(
+    coordinator_address=os.environ["VAURA_COORD"],
+    num_processes=2,
+    process_id=pid,
+)
+assert jax.local_device_count() == 4, jax.local_device_count()
+assert jax.device_count() == 8, jax.device_count()
+
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import __graft_entry__ as ge
+from vaura_tpu.parallel.mesh import make_mesh
+from vaura_tpu.parallel.partitioning import param_shardings
+from vaura_tpu.train.state import TrainState, make_optimizer
+from vaura_tpu.train.steps import make_train_step, split_params
+
+# (data=1, fsdp=2, model=4): with 4 local devices per process the fsdp
+# axis SPANS the process boundary — fsdp all-gathers/reduce-scatters must
+# cross processes — while TP stays process-local (the ICI-vs-DCN layout a
+# real multi-host slice would use).
+mesh = make_mesh(data=1, fsdp=2, model=4)
+procs_of_fsdp1 = {d.process_index for d in mesh.devices[0, 1, :].flat}
+assert procs_of_fsdp1 == {1}, procs_of_fsdp1
+
+system = ge._midsize_system()
+rng = jax.random.PRNGKey(0)
+params = system.init_params(rng)  # deterministic: identical on both procs
+params = system.load_dac_embeddings_into_sampler(params)
+trainable, frozen = split_params(system, params)
+
+with jax.set_mesh(mesh):
+    t_sh = param_shardings(mesh, trainable)
+    f_sh = param_shardings(mesh, frozen)
+    # host values are identical on every process, so device_put may place
+    # each process's addressable shards of the global array
+    trainable = jax.tree.map(jax.device_put, trainable, t_sh)
+    frozen = jax.tree.map(jax.device_put, frozen, f_sh)
+    tx = make_optimizer(1e-4, weight_decay=0.01, gradient_clip_val=1.0)
+    state = TrainState.create(trainable, tx)
+
+    batch_sharding = NamedSharding(mesh, P(("data", "fsdp")))
+    B = 2
+    rngb = np.random.default_rng(0)
+    batch = {
+        "frames": jax.device_put(
+            rngb.standard_normal((B, 2, 3, 4, 224, 224)).astype(np.float32),
+            batch_sharding,
+        ),
+        "audio": jax.device_put(
+            (rngb.standard_normal((B, 1, 512 * 96)) * 0.1).astype(np.float32),
+            batch_sharding,
+        ),
+    }
+    step_fn = make_train_step(system, donate=False)
+    state, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(1))
+    # the loss is replicated over the global mesh: every process holds an
+    # addressable replica
+    loss = float(np.asarray(metrics["loss"].addressable_data(0)))
+    assert np.isfinite(loss), loss
+    # one more step to prove the updated (cross-process-sharded) state is
+    # consumable
+    state, metrics2 = step_fn(state, frozen, batch, jax.random.PRNGKey(2))
+    loss2 = float(np.asarray(metrics2["loss"].addressable_data(0)))
+    assert np.isfinite(loss2), loss2
+
+multihost_utils.sync_global_devices("train-done")
+print(f"TRAIN-WORKER-OK pid={pid} loss={loss:.4f} loss2={loss2:.4f}")
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -121,3 +206,47 @@ def test_two_process_distributed_psum_and_host0_gating(tmp_path):
         assert "sum=10.0" in out
     # exactly one process wrote the host-0 side effect
     assert touch.read_text().strip() == "host0 from process 0"
+
+
+@pytest.mark.slow
+def test_two_process_sharded_train_step(tmp_path):
+    """Full fsdp+model-sharded train step on a mesh that SPANS two real OS
+    processes (2 procs x 4 virtual CPU devices, fsdp axis crossing the
+    process boundary) — the cross-process version of
+    ``__graft_entry__.dryrun_multichip`` (SURVEY §5.8)."""
+    coord = f"127.0.0.1:{_free_port()}"
+    script = tmp_path / "train_worker.py"
+    script.write_text(TRAIN_WORKER)
+
+    procs = []
+    for pid in (0, 1):
+        env = {
+            "PATH": "/usr/bin:/bin:/usr/local/bin",
+            "HOME": "/root",
+            "PYTHONPATH": str(REPO),
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "VAURA_REPO": str(REPO),
+            "VAURA_COORD": coord,
+            "VAURA_PROC_ID": str(pid),
+        }
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    losses = set()
+    for rc, out, err in outs:
+        assert rc == 0, (out[-1000:], err[-3000:])
+        assert "TRAIN-WORKER-OK" in out
+        losses.add(out.strip().splitlines()[-1].split("loss=", 1)[1])
+    # both processes computed the same global losses
+    assert len(losses) == 1, losses
