@@ -111,6 +111,12 @@ def main() -> None:
     )
     ap.add_argument("--no-remat", action="store_true",
                     help="train mode: disable block rematerialization")
+    ap.add_argument("--remat-policy", type=str, default=None,
+                    choices=["dots", "dots_no_batch"],
+                    help="train mode: checkpoint policy (default: save "
+                         "nothing / recompute all). dots_no_batch saves "
+                         "matmul outputs without batch dims — trades "
+                         "memory for skipping big-dot recompute")
     ap.add_argument("--mu-dtype", type=str, default=None,
                     help="train mode: AdamW first-moment dtype (e.g. "
                          "bfloat16) — halves optimizer-state memory")
@@ -459,7 +465,9 @@ def bench_train(args) -> None:
     # train batch (<=64) is honored as-is for envelope probing
     B = args.batch if args.batch <= 64 else 12
     system = VauraSystem(
-        sampler_config=SamplerConfig(remat=not args.no_remat),
+        sampler_config=SamplerConfig(
+            remat=not args.no_remat, remat_policy=args.remat_policy
+        ),
         dac_config=config_for_sample_rate(44100),
         encoder_config=None,
         use_visual_conditioning=True,
@@ -513,6 +521,32 @@ def bench_train(args) -> None:
         times.append(time.perf_counter() - t0)
     dt = min(times)
     value = B * 221 / dt
+    # --- MFU: analytic model FLOPs (the standard 6*N*T transformer count
+    # + the attention quadratic term 12*L*d*S^2; excludes remat recompute
+    # and the DAC encode, so this is true *model* FLOPs utilization) ---
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(state.params)
+    )
+    S = 221
+    cfg_s = system.sampler_config
+    attn_quad = 12 * cfg_s.num_layers * cfg_s.d_model * S * S
+    model_flops = 6 * n_params * B * S + attn_quad * B
+    V5E_BF16_PEAK = 197e12
+    mfu = model_flops / dt / V5E_BF16_PEAK
+    # HFU: what the compiled step actually executes (includes remat
+    # recompute and the DAC encode when --precomputed-codes is off)
+    try:
+        lowered = jax.jit(train_step, donate_argnums=(0,)).lower(
+            state, audio, codes, vis, jax.random.PRNGKey(0)
+        )
+        hlo_flops = lowered.compile().cost_analysis()["flops"]
+        hfu = float(hlo_flops) / dt / V5E_BF16_PEAK
+    except Exception:
+        hfu = None
+    print(f"# train MFU {mfu*100:.1f}% (model {model_flops/1e12:.2f} "
+          f"TFLOP/step over {n_params/1e6:.0f}M params, {dt*1e3:.0f} ms)"
+          + (f", HFU {hfu*100:.1f}% (compiled-HLO flops incl. remat)"
+             if hfu is not None else ""))
     # vs_baseline: the reference recipe consumes 12 samples/step on each of
     # 4 GPUs; one chip matching one reference GPU's per-step batch in `dt`
     # seconds gives the ratio below (no published step time to compare to)
@@ -523,6 +557,7 @@ def bench_train(args) -> None:
                 "value": round(value, 1),
                 "unit": "tokens/sec/chip",
                 "vs_baseline": round(B / 12 / dt, 3),
+                "mfu": round(mfu, 4),
             }
         )
     )
