@@ -246,9 +246,17 @@ class Attention(nn.Module):
         x: jax.Array,  # [B, S, d_model]
         freqs_cis: jax.Array,  # [S, head_dim//2, 2]
         mask: Optional[jax.Array],  # [S, S] bool (train/prefill causal mask)
-        cache_kv: Optional[Tuple[jax.Array, jax.Array]],  # decode: [B,S_max,H,hd]
+        # decode: tuple of per-chunk cache tuples, each ([B,S_c,H,hd] k, v
+        # [, k_scale, v_scale]) — the KV sequence axis is physically split
+        # into chunks so the bucketed-decode scan carries only the chunks
+        # it can attend to (vaura.py::generate_tokens)
+        cache_kv: Optional[Tuple[Tuple[jax.Array, ...], ...]],
         pos: jax.Array,  # scalar int32: current position (decode)
         train: bool,
+        # decode: per-chunk validity masks ([S_c] bool or None = all valid);
+        # only the chunk being written needs one — frozen chunks hold
+        # positions strictly below every pos in the current scan segment
+        chunk_masks: Tuple[Optional[jax.Array], ...] = (None,),
     ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
         cfg = self.config
         B, S, _ = x.shape
@@ -265,87 +273,110 @@ class Attention(nn.Module):
         rep = cfg.nhead // cfg.n_kv_heads
 
         if (cache_kv is not None and cfg.use_pallas_decode and rep == 1
-                and not cfg.quantize_cache):
+                and not cfg.quantize_cache and len(cache_kv) == 1):
             # Pallas kernel: DMAs exactly ceil(pos/BLOCK) cache blocks
             from vaura_tpu.ops.pallas_attention import decode_attention
 
-            ck, cv = cache_kv
+            ck, cv = cache_kv[0]
             out = decode_attention(
                 q[:, 0], ck, cv, k[:, 0], v[:, 0], pos
             ).reshape(B, S, cfg.d_model)
         elif cache_kv is not None:
-            # decode: S == 1. Attend over cache[<pos] + current k/v.
-            if cfg.quantize_cache:
-                # int8 cache: per-(position, head) scales fold outside the
-                # dots, so the matmuls read int8 directly
-                ck, cv, ck_s, cv_s = cache_kv  # [B,S,H,hd] i8 + [B,S,H] f32
-                if cfg.cache_bits == 4:
-                    from vaura_tpu.ops.quantization import unpack_int4
-
-                    ck = unpack_int4(ck)  # [B,S,H,hd/2] packed -> [.., hd]
-                    cv = unpack_int4(cv)
-            else:
-                ck, cv = cache_kv  # [B, S_max, n_kv, hd]
-                ck_s = cv_s = None
-            S_max = ck.shape[1]
-            keys, values = ck, cv
+            # decode: S == 1. Attend over cached positions < pos (spread
+            # across the physically separate chunk buffers) + current k/v:
+            # per-chunk scores concatenate into ONE softmax (order-
+            # invariant, so bit-exact vs a monolithic buffer), then the
+            # output accumulates per-chunk prob@value dots.
             k_cur, v_cur = k, v
             if rep != 1:
-                keys = jnp.repeat(keys, rep, axis=2)
-                values = jnp.repeat(values, rep, axis=2)
                 k_cur = jnp.repeat(k_cur, rep, axis=2)
                 v_cur = jnp.repeat(v_cur, rep, axis=2)
-                if ck_s is not None:
-                    ck_s = jnp.repeat(ck_s, rep, axis=2)
-                    cv_s = jnp.repeat(cv_s, rep, axis=2)
-            if ck_s is not None and cfg.int8_dots:
-                # int8 x int8 qk dot: the MXU reads the int8 cache directly
-                # (no bf16 widening); q's dynamic scale folds onto scores
+            if cfg.quantize_cache and cfg.int8_dots:
                 from vaura_tpu.ops.quantization import quantize_rows
 
                 q8, q_s = quantize_rows(q)  # [B,1,H,hd] i8, [B,1,H]
-                scores_c = jnp.einsum(
-                    "bshd,bthd->bhst", q8, keys,
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * (
-                    scale * jnp.transpose(q_s, (0, 2, 1))[:, :, :, None]
-                )
-            else:
-                scores_c = jnp.einsum(
-                    "bshd,bthd->bhst", q, keys.astype(q.dtype),
-                    preferred_element_type=jnp.float32,
-                ) * scale  # [B, H, 1, S_max]
-            if ck_s is not None:
-                scores_c = scores_c * jnp.transpose(ck_s, (0, 2, 1))[:, :, None, :]
-            valid = (jnp.arange(S_max) < pos)[None, None, None, :]
-            scores_c = jnp.where(valid, scores_c, -1e30)
+            all_scores = []
+            chunk_vs = []  # (values, v_scale) for the output pass
+            for chunk, cmask in zip(cache_kv, chunk_masks):
+                if cfg.quantize_cache:
+                    # int8 cache: per-(position, head) scales fold outside
+                    # the dots, so the matmuls read int8 directly
+                    ck, cv, ck_s, cv_s = chunk  # [B,S_c,H,hd] i8 + [B,S_c,H]
+                    if cfg.cache_bits == 4:
+                        from vaura_tpu.ops.quantization import unpack_int4
+
+                        ck = unpack_int4(ck)  # [.., hd/2] packed -> [.., hd]
+                        cv = unpack_int4(cv)
+                else:
+                    ck, cv = chunk  # [B, S_c, n_kv, hd]
+                    ck_s = cv_s = None
+                keys, values = ck, cv
+                if rep != 1:
+                    keys = jnp.repeat(keys, rep, axis=2)
+                    values = jnp.repeat(values, rep, axis=2)
+                    if ck_s is not None:
+                        ck_s = jnp.repeat(ck_s, rep, axis=2)
+                        cv_s = jnp.repeat(cv_s, rep, axis=2)
+                if ck_s is not None and cfg.int8_dots:
+                    # int8 x int8 qk dot: the MXU reads the int8 cache
+                    # directly; q's dynamic scale folds onto scores
+                    scores_c = jnp.einsum(
+                        "bshd,bthd->bhst", q8, keys,
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * (
+                        scale * jnp.transpose(q_s, (0, 2, 1))[:, :, :, None]
+                    )
+                else:
+                    scores_c = jnp.einsum(
+                        "bshd,bthd->bhst", q, keys.astype(q.dtype),
+                        preferred_element_type=jnp.float32,
+                    ) * scale  # [B, H, 1, S_c]
+                if ck_s is not None:
+                    scores_c = (
+                        scores_c * jnp.transpose(ck_s, (0, 2, 1))[:, :, None, :]
+                    )
+                if cmask is not None:
+                    scores_c = jnp.where(
+                        cmask[None, None, None, :], scores_c, -1e30
+                    )
+                all_scores.append(scores_c)
+                chunk_vs.append((values, cv_s))
             scores_s = jnp.einsum(
                 "bshd,bthd->bhst", q, k_cur, preferred_element_type=jnp.float32
             ) * scale  # [B, H, 1, 1]
-            scores = jnp.concatenate([scores_c, scores_s], axis=-1)
+            scores = jnp.concatenate(all_scores + [scores_s], axis=-1)
             probs = jax.nn.softmax(scores, axis=-1)
-            p_cache = probs[..., :S_max]
-            if cv_s is not None:
-                p_cache = p_cache * jnp.transpose(cv_s, (0, 2, 1))[:, :, None, :]
-            if cv_s is not None and cfg.int8_dots:
-                from vaura_tpu.ops.quantization import quantize_rows
+            out = jnp.zeros((B, S, cfg.nhead, cfg.head_dim), jnp.float32)
+            off = 0
+            for values, cv_s in chunk_vs:
+                S_c = values.shape[1]
+                p_cache = probs[..., off:off + S_c]
+                off += S_c
+                if cv_s is not None:
+                    p_cache = (
+                        p_cache * jnp.transpose(cv_s, (0, 2, 1))[:, :, None, :]
+                    )
+                if cv_s is not None and cfg.int8_dots:
+                    from vaura_tpu.ops.quantization import quantize_rows
 
-                p8, p_s = quantize_rows(p_cache)  # [B,H,1,S] i8, [B,H,1]
-                out_c = jnp.einsum(
-                    "bhst,bthd->bshd", p8, values,
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * jnp.transpose(p_s, (0, 2, 1))[..., None]
-                out = out_c.astype(cfg.dtype)
-            else:
-                out = jnp.einsum(
-                    "bhst,bthd->bshd",
-                    p_cache.astype(cfg.dtype),
-                    values.astype(cfg.dtype),
-                )
+                    p8, p_s = quantize_rows(p_cache)  # i8, [B,H,1]
+                    out_c = jnp.einsum(
+                        "bhst,bthd->bshd", p8, values,
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * (
+                        jnp.transpose(p_s, (0, 2, 1))[..., None]
+                    )
+                    out = out + out_c
+                else:
+                    out = out + jnp.einsum(
+                        "bhst,bthd->bshd",
+                        p_cache.astype(cfg.dtype),
+                        values.astype(cfg.dtype),
+                    ).astype(jnp.float32)
             out = out + jnp.einsum(
-                "bhst,bthd->bshd", probs[..., S_max:].astype(v_cur.dtype), v_cur
-            )
-            out = out.reshape(B, S, cfg.d_model)
+                "bhst,bthd->bshd", probs[..., off:].astype(v_cur.dtype), v_cur
+            ).astype(jnp.float32)
+            out = out.astype(cfg.dtype).reshape(B, S, cfg.d_model)
         else:
             keys, values = k, v
             if rep != 1:
@@ -381,7 +412,7 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, broadcast_in, cache_layer, train, mode):
-        freqs_cis, mask, pos = broadcast_in
+        freqs_cis, mask, pos, chunk_masks = broadcast_in
         cfg = self.config
         attn_out, (k_new, v_new) = Attention(cfg, name="attention")(
             RMSNorm(cfg.d_model, cfg.layer_norm_eps, name="attention_norm")(x),
@@ -390,6 +421,7 @@ class TransformerBlock(nn.Module):
             cache_layer if mode == "decode" else None,
             pos,
             train,
+            chunk_masks,
         )
         h = x + self._drop_path(attn_out, train)
         ffn_out = FeedForward(cfg, name="feed_forward")(
@@ -631,18 +663,22 @@ class Sampler(nn.Module):
             )
         )
 
-    def _run_blocks(self, h, freqs_cis, mask, cache, pos, train, mode):
+    def _run_blocks(self, h, freqs_cis, mask, cache, pos, train, mode,
+                    chunk_masks=(None,)):
         """mode: 'train' (no cache product), 'prefill' (ys = full K/V per
         layer, stacked into the cache by the caller), or 'decode' (cache is
-        read-only xs; ys = current-position K/V per layer)."""
+        a tuple of per-chunk tuples, read-only xs; ys = current-position
+        K/V per layer). ``chunk_masks`` aligns with the cache chunks."""
         cfg = self.config
         if cache is None:
             empty = jnp.zeros(
                 (cfg.num_layers, h.shape[0], 0, cfg.n_kv_heads, cfg.head_dim),
                 dtype=cfg.dtype,
             )
-            cache = (empty, empty)
-        h, ys = self.layers(h, (freqs_cis, mask, pos), cache, train, mode)
+            cache = ((empty, empty),)
+        h, ys = self.layers(
+            h, (freqs_cis, mask, pos, chunk_masks), cache, train, mode
+        )
         return h, ys
 
     def _logits(self, h: jax.Array) -> jax.Array:
@@ -751,19 +787,28 @@ class Sampler(nn.Module):
         self,
         tokens_t: jax.Array,  # [B, K, 1] tokens at position `pos`
         cond_t: jax.Array,  # [B, 1, cond_dim] conditioning at position `pos`
-        cache: Dict[str, jax.Array],
+        cache: Any,  # Dict (one chunk) | Tuple[Dict, ...] (chunked, see below)
         pos: jax.Array,  # scalar int32
         key_len: Optional[int] = None,
-    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        chunk_starts: Optional[Tuple[int, ...]] = None,
+    ) -> Tuple[jax.Array, Any]:
         """One decode step: returns next-token logits ``[B, K, vocab]`` and
         the updated cache. The cache flows through the layer scan read-only;
         the single-position commit happens here so the surrounding
         ``lax.scan`` can alias the buffers in place.
 
-        ``key_len`` (static) bounds the attended cache prefix — the
-        bucketed-decode optimization: steps known to have ``pos < key_len``
-        read only ``key_len`` cache positions instead of the full buffer,
-        cutting HBM traffic for early steps."""
+        Chunked cache (the bucketed-decode optimization): ``cache`` may be
+        a tuple of per-chunk dicts whose buffers physically partition the
+        sequence axis at the static global offsets ``chunk_starts`` —
+        early scan segments carry (and therefore read) only the chunks
+        they can attend to, and growing the cache between segments is
+        appending a fresh zero chunk instead of copying the whole buffer.
+        Writes go into the LAST chunk at ``pos - chunk_starts[-1]``; only
+        that chunk is masked by position (earlier chunks hold positions
+        strictly below every ``pos`` of the current segment).
+
+        ``key_len`` (static, single-chunk form only) bounds the attended
+        prefix by slicing the chunk view."""
         cfg = self.config
         B = tokens_t.shape[0]
         tok_emb = self.tok_embeddings(tokens_t)  # [B, 1, token_dim]
@@ -771,41 +816,60 @@ class Sampler(nn.Module):
         freqs_cis = jax.lax.dynamic_slice(
             self._freqs(), (pos, 0, 0), (1, cfg.head_dim // 2, 2)
         )
-        cache_in = self._cache_tuple(cache)
-        if key_len is not None and key_len < cache_in[0].shape[2]:
-            cache_in = tuple(t[:, :, :key_len] for t in cache_in)
+        single = isinstance(cache, dict)
+        chunks = (cache,) if single else tuple(cache)
+        starts = (0,) if single else tuple(chunk_starts)
+        assert len(starts) == len(chunks)
+        cache_in = []
+        chunk_masks = []
+        for i, (c, g0) in enumerate(zip(chunks, starts)):
+            tup = self._cache_tuple(c)
+            if (single and key_len is not None
+                    and key_len < tup[0].shape[2]):
+                tup = tuple(t[:, :, :key_len] for t in tup)
+            cache_in.append(tup)
+            if i == len(chunks) - 1:
+                # active chunk: positions g0..g0+S_c-1, attend strictly
+                # below pos (the current token's score is added separately)
+                chunk_masks.append(g0 + jnp.arange(tup[0].shape[2]) < pos)
+            else:
+                chunk_masks.append(None)
         h, ys = self._run_blocks(
-            h, freqs_cis, None, cache_in, pos, False, "decode"
+            h, freqs_cis, None, tuple(cache_in), pos, False, "decode",
+            tuple(chunk_masks),
         )
         k_cur, v_cur = ys  # [L, B, 1, n_kv, hd]
+        off = pos - starts[-1]
+        last = chunks[-1]
         if cfg.quantize_cache:
             from vaura_tpu.ops.quantization import quantize_kv, quantize_kv4
 
             qfn = quantize_kv4 if cfg.cache_bits == 4 else quantize_kv
             kq, ks = qfn(k_cur)
             vq, vs = qfn(v_cur)
-            new_cache = {
+            new_last = {
                 "k": jax.lax.dynamic_update_slice(
-                    cache["k"], kq, (0, 0, pos, 0, 0)
+                    last["k"], kq, (0, 0, off, 0, 0)
                 ),
                 "v": jax.lax.dynamic_update_slice(
-                    cache["v"], vq, (0, 0, pos, 0, 0)
+                    last["v"], vq, (0, 0, off, 0, 0)
                 ),
                 "k_scale": jax.lax.dynamic_update_slice(
-                    cache["k_scale"], ks, (0, 0, pos, 0)
+                    last["k_scale"], ks, (0, 0, off, 0)
                 ),
                 "v_scale": jax.lax.dynamic_update_slice(
-                    cache["v_scale"], vs, (0, 0, pos, 0)
+                    last["v_scale"], vs, (0, 0, off, 0)
                 ),
             }
         else:
-            new_cache = {
+            new_last = {
                 "k": jax.lax.dynamic_update_slice(
-                    cache["k"], k_cur.astype(cache["k"].dtype), (0, 0, pos, 0, 0)
+                    last["k"], k_cur.astype(last["k"].dtype), (0, 0, off, 0, 0)
                 ),
                 "v": jax.lax.dynamic_update_slice(
-                    cache["v"], v_cur.astype(cache["v"].dtype), (0, 0, pos, 0, 0)
+                    last["v"], v_cur.astype(last["v"].dtype), (0, 0, off, 0, 0)
                 ),
             }
+        new_cache = new_last if single else chunks[:-1] + (new_last,)
         logits = self._logits(h)  # [B, K, 1, vocab]
         return logits[:, :, 0, :], new_cache

@@ -45,25 +45,6 @@ from vaura_tpu.ops.sampling import cfg_blend, sample_tokens
 UNKNOWN_TOKEN = -1
 
 
-def _resize_cache(cache: Dict[str, jax.Array], new_len: int) -> Dict[str, jax.Array]:
-    """Pad (or slice) every KV-cache buffer to ``new_len`` positions on the
-    sequence axis (axis 2 of the ``[L, B, S, H, ...]`` layout). One explicit
-    whole-buffer copy, used *between* bucketed-decode scan segments so each
-    segment's ``lax.scan`` carries a buffer exactly as long as it can
-    attend to (in-scan slicing would break carry aliasing instead)."""
-
-    def rs(t: jax.Array) -> jax.Array:
-        cur = t.shape[2]
-        if new_len == cur:
-            return t
-        if new_len < cur:
-            return t[:, :, :new_len]
-        pad_shape = t.shape[:2] + (new_len - cur,) + t.shape[3:]
-        return jnp.concatenate([t, jnp.zeros(pad_shape, t.dtype)], axis=2)
-
-    return {k: rs(v) for k, v in cache.items()}
-
-
 @dataclasses.dataclass
 class VauraSystem:
     """Holds the module set and exposes pure functions over param pytrees.
@@ -419,7 +400,7 @@ class VauraSystem:
         top_k: int = 256,
         top_p: float = 0.0,
         cfg_scale: float = 1.0,
-        key_len: Optional[int] = None,
+        chunk_starts: Tuple[int, ...] = (0,),
     ):
         """Returns the scan body for the unified prompt-ingest/decode loop.
 
@@ -429,8 +410,9 @@ class VauraSystem:
         it is still UNKNOWN (prompt tokens win) — the same invariants as
         reference ``vaura_model.py:502-547`` but cache-incremental.
 
-        ``key_len`` statically bounds the attended cache prefix (bucketed
-        decode); callers must only run steps with ``s <= key_len``.
+        ``chunk_starts`` are the static global offsets of the carried
+        cache chunks (bucketed decode); the carry's cache is the aligned
+        tuple of chunk dicts.
         """
         sampler = self.sampler
         special = self.special_token_id
@@ -454,7 +436,8 @@ class VauraSystem:
                 cond_t,
                 cache,
                 s - 1,
-                key_len,
+                None,
+                chunk_starts,
                 method=sampler.decode_step,
             )  # [(2)B, K, card]
             if use_cfg:
@@ -503,23 +486,27 @@ class VauraSystem:
         """Run the generation scan; returns the completed ``[B, K, S]``
         sequence. ``start_step`` is static; steps scan from there to S.
 
-        ``decode_buckets`` splits the step range into segments whose KV
-        cache buffers are *physically* sized to the segment's maximum
-        attended length (S/n, 2S/n, ..., S): segment j's ``lax.scan``
-        carries a ``[L, B, hi_j, H, hd]`` cache, and the buffer is grown by
-        one explicit pad between segments. Early steps therefore stream
-        only the prefix of the cache they can actually attend to, cutting
-        the dominant HBM term (full-buffer reads) to ~58% at n=4 without
-        breaking XLA's in-place scan-carry aliasing. (The earlier
-        formulation that sliced a full-size carried buffer per step LOSES
-        ~12% — the slice materializes a copy each step; that is what the
-        dead-ends table records.)
+        ``decode_buckets`` splits the step range into segments and the KV
+        cache into *physically separate* per-segment chunk buffers:
+        segment j's ``lax.scan`` carries only chunks 0..j, so early steps
+        stream only the cache prefix they can actually attend to (the
+        dominant HBM term), and growing the cache between segments means
+        appending a fresh zero chunk — there is NO whole-buffer pad/copy
+        and no old+new transient, so peak cache memory equals the
+        unbucketed buffer exactly (this is what previously made bf16
+        B=128 and int8 B>=160 fail to compile). In-scan carry aliasing is
+        preserved: frozen chunks pass through unchanged and the active
+        chunk takes one in-place ``dynamic_update_slice`` per step.
+        Attention concatenates per-chunk scores into one softmax (order-
+        invariant) — vs a monolithic buffer the only numeric difference
+        is f32 summation grouping of the per-chunk prob@value partials.
+        (The r1 formulation that sliced a full-size carried buffer per
+        step LOSES ~12% — the slice materializes a copy each step; the r3
+        formulation resized one monolithic carry between segments — see
+        the dead-ends table.)
         """
-        B = gen_seq_init.shape[0]
         cache_batch = cond_seq.shape[0]
-        cache = initial_cache or self.sampler.init_cache(
-            cache_batch, S, dtype=cache_dtype or self.sampler_config.dtype
-        )
+        cdtype = cache_dtype or self.sampler_config.dtype
 
         sampling_kwargs = dict(
             use_sampling=use_sampling, temp=temp, top_k=top_k, top_p=top_p,
@@ -530,27 +517,40 @@ class VauraSystem:
         bounds = sorted(
             {min(-(-((i + 1) * S) // n_b // 8) * 8, S) for i in range(n_b)}
         )
-        carry = (cache, gen_seq_init, cond_seq, rng)
+        eff = [hi for hi in bounds if hi > start_step]
+        # chunk j backs segment j's writes: steps s in [lo_j, hi_j) write
+        # positions [lo_j - 1, hi_j - 1), so chunk boundaries sit one
+        # below the step bounds; the last chunk extends to S (position
+        # S-1, written by step S... the final step writes S-1 = S_max-1)
+        chunk_bounds = [0] + [h - 1 for h in eff[:-1]] + [S]
+
+        def make_chunk(a: int, b: int) -> Dict[str, jax.Array]:
+            if initial_cache is not None:
+                return {k: v[:, :, a:b] for k, v in initial_cache.items()}
+            return self.sampler.init_cache(cache_batch, b - a, dtype=cdtype)
+
+        chunks: Tuple[Dict[str, jax.Array], ...] = ()
+        rest = (gen_seq_init, cond_seq, rng)
         lo = start_step
-        step = self.build_generation_step(
-            S=S, valid_mask=valid_mask, **sampling_kwargs
-        )
+        for j, hi in enumerate(eff):
+            chunks = chunks + (make_chunk(chunk_bounds[j], chunk_bounds[j + 1]),)
+            step = self.build_generation_step(
+                S=S, valid_mask=valid_mask,
+                chunk_starts=tuple(chunk_bounds[: j + 1]),
+                **sampling_kwargs,
+            )
 
-        def body(carry, s):
-            return step(params["sampler"], carry, s)
+            def body(carry, s, _step=step):
+                return _step(params["sampler"], carry, s)
 
-        for hi in bounds:
-            if hi <= lo:
-                continue
-            # steps s in [lo, hi): write position s-1 < hi, attend < s <= hi
-            # -> a buffer of hi positions suffices for the whole segment
-            cache_seg, gen_seq_c, cond_seq_c, rng_c = carry
-            carry = (_resize_cache(cache_seg, hi), gen_seq_c, cond_seq_c, rng_c)
             steps = jnp.arange(lo, hi, dtype=jnp.int32)
-            carry, _ = jax.lax.scan(body, carry, steps, unroll=step_unroll)
+            carry, _ = jax.lax.scan(
+                body, (chunks,) + rest, steps, unroll=step_unroll
+            )
+            chunks, gen_seq_c, cond_seq_c, rng_c = carry
+            rest = (gen_seq_c, cond_seq_c, rng_c)
             lo = hi
-        (_, gen_seq, _, _) = carry
-        return gen_seq
+        return rest[0]
 
     def build_cond_seq_for_generation(
         self,
