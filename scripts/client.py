@@ -116,6 +116,68 @@ def generate_long_stream(
             yield chunk
 
 
+def loadtest(
+    base_url: str,
+    features: np.ndarray,
+    *,
+    n_requests: int = 256,
+    concurrency: int = 64,
+    want: str = "audio",
+) -> dict:
+    """Burst load test: keep ``concurrency`` requests in flight until
+    ``n_requests`` have completed; returns throughput + latency
+    percentiles. This is the harness behind PERFORMANCE.md's serving
+    burst numbers (p50/p95 under a 256-request burst)."""
+    import threading
+
+    latencies: list = []
+    errors = [0]
+    lock = threading.Lock()
+    idx = [0]
+    t_start = time.time()
+
+    def worker():
+        while True:
+            with lock:
+                if idx[0] >= n_requests:
+                    return
+                idx[0] += 1
+            t0 = time.time()
+            try:
+                generate(base_url, features, want=want)
+                dt = time.time() - t0
+                with lock:
+                    latencies.append(dt)
+            except Exception:
+                with lock:
+                    errors[0] += 1
+
+    threads = [
+        threading.Thread(target=worker) for _ in range(concurrency)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t_start
+    lat = np.sort(np.asarray(latencies)) if latencies else np.zeros(1)
+
+    def pct(p: float) -> float:
+        return float(lat[min(len(lat) - 1, int(p * len(lat)))])
+
+    return {
+        "requests": len(latencies),
+        "errors": errors[0],
+        "wall_s": round(wall, 2),
+        "req_per_s": round(len(latencies) / wall, 2),
+        "p50_s": round(pct(0.50), 2),
+        "p90_s": round(pct(0.90), 2),
+        "p95_s": round(pct(0.95), 2),
+        "p99_s": round(pct(0.99), 2),
+        "mean_s": round(float(lat.mean()), 2),
+    }
+
+
 def main() -> None:
     import argparse
 
@@ -133,11 +195,26 @@ def main() -> None:
                     help="hot-swap the server's weights from CKPT (server-"
                     "visible path; omit the value to re-load its startup "
                     "checkpoint), then exit")
+    ap.add_argument("--loadtest", type=int, default=0, metavar="N",
+                    help="burst load test: N total requests of the input "
+                    "features; prints req/s + latency percentiles JSON")
+    ap.add_argument("--concurrency", type=int, default=64,
+                    help="in-flight requests during --loadtest")
     args = ap.parse_args()
 
     t0 = time.time()
     if args.reload is not None:
         print(json.dumps(reload_weights(args.url, args.reload or None)))
+        return
+    if args.loadtest:
+        if not args.input:
+            ap.error("input features .npy required for --loadtest")
+        stats = loadtest(
+            args.url, np.load(args.input),
+            n_requests=args.loadtest, concurrency=args.concurrency,
+            want="codes" if args.codes else "audio",
+        )
+        print(json.dumps(stats))
         return
     if not args.input or not args.out:
         ap.error("input and --out are required unless --reload")

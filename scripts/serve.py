@@ -306,6 +306,7 @@ class GenerationService:
         self.cond_dim = self.system.sampler_config.cond_in_dim
         self.sample_rate = self.system.dac_config.sample_rate
         self._next_seed = int(cfg.get("seed", 0))
+        self._batch_ema_s = 0.0  # EMA batch latency -> collection window
         self._jax = jax
         self._q: "queue.Queue" = queue.Queue()
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -775,71 +776,109 @@ class GenerationService:
             self._worker.join(timeout=timeout)
         return drained
 
-    def _loop(self):
-        import jax.numpy as jnp
+    def _dispatch(self, slots):
+        """Pad ``slots`` to the smallest compiled bucket and launch the
+        generation graph WITHOUT blocking on the result (jax dispatch is
+        async) — returns the in-flight batch record for ``_fetch``."""
+        bucket = next(b for b in self.batch_buckets if b >= len(slots))
+        feats = np.zeros((bucket, self.tv, self.cond_dim), np.float32)
+        for i, s in enumerate(slots):
+            feats[i, : s["feats"].shape[0]] = s["feats"]
+        seed = self._next_seed
+        self._next_seed += 1
+        t0 = time.time()
+        try:
+            out = self._generate(self._put_batch(feats), seed)
+        except Exception as e:  # tracing/shape errors surface eagerly
+            logger.exception("batch dispatch failed")
+            self._finish(slots, error=str(e))
+            return None
+        return {"slots": slots, "bucket": bucket, "out": out, "t0": t0}
 
-        held = None  # a stream slot pulled while filling a batch
+    def _fetch(self, p) -> None:
+        """Block on an in-flight batch's device results and reply to its
+        requests; device-side failures surface here (async dispatch)."""
+        slots = p["slots"]
+        try:
+            audio = np.asarray(p["out"]["audio"], np.float32)
+            codes = np.asarray(p["out"]["codes"])
+            dt = time.time() - p["t0"]
+            self._batch_ema_s = (
+                dt if self._batch_ema_s == 0.0
+                else 0.7 * self._batch_ema_s + 0.3 * dt
+            )
+            for i, s in enumerate(slots):
+                s["result"] = codes[i] if s["want"] == "codes" else audio[i]
+            with self._metrics_lock:
+                self._metrics["batches_total"] += 1
+                self._metrics["batch_slots_total"] += len(slots)
+                self._metrics["batch_capacity_total"] += p["bucket"]
+                self._bucket_counts[p["bucket"]] += 1
+                self._metrics["batch_seconds_sum"] += dt
+            self._finish(slots)
+            logger.info(
+                "batch n=%d/%d total=%.3fs", len(slots), p["bucket"], dt
+            )
+        except Exception as e:  # pragma: no cover - defensive
+            logger.exception("batch failed")
+            self._finish(slots, error=str(e))
+
+    def _loop(self):
+        """Micro-batch worker, double-buffered: while the device runs
+        batch N, the worker keeps collecting batch N+1 (so under burst
+        load every batch fills to capacity during the previous batch's
+        compute window instead of only during ``max_wait_ms``) and
+        dispatches it BEFORE blocking on batch N's results — the device
+        goes back-to-back while the host overlaps batch N's result
+        transfer (~14 MB/batch over the PJRT tunnel) and replies with
+        batch N+1's compute. Collection while the device is busy is
+        bounded by the EMA of recent batch times, so a batch is never
+        held longer than the compute it is hiding behind.
+
+        Streaming requests and the close() sentinel still serialize:
+        they run only once every dispatched batch has been fetched."""
+        pending = None  # in-flight batch (dispatched, results not fetched)
+        special = None  # intercepted stream slot, or "close"
         while True:
-            first = held if held is not None else self._q.get()
-            held = None
-            if first is None:
-                return  # close() sentinel
-            if first.get("stream"):
-                self._run_stream(first)
-                continue
-            slots = [first]
-            deadline = time.time() + self.max_wait_s
-            while len(slots) < self.batch:
-                timeout = deadline - time.time()
-                if timeout <= 0:
-                    break
-                try:
-                    s = self._q.get(timeout=timeout)
-                except queue.Empty:
-                    break
-                if s is None:  # close() sentinel mid-fill
-                    self._q.put(None)  # re-deliver after this batch
-                    break
-                if s.get("stream"):
-                    held = s  # run after this batch, keep TPU exclusive
-                    break
-                slots.append(s)
-            try:
-                # smallest compiled bucket that fits this micro-batch
-                bucket = next(
-                    b for b in self.batch_buckets if b >= len(slots)
-                )
-                feats = np.zeros(
-                    (bucket, self.tv, self.cond_dim), np.float32
-                )
-                for i, s in enumerate(slots):
-                    feats[i, : s["feats"].shape[0]] = s["feats"]
-                seed = self._next_seed
-                self._next_seed += 1
-                t0 = time.time()
-                out = self._generate(self._put_batch(feats), seed)
-                t1 = time.time()
-                audio = np.asarray(out["audio"], np.float32)
-                codes = np.asarray(out["codes"])
-                t2 = time.time()
-                for i, s in enumerate(slots):
-                    s["result"] = (
-                        codes[i] if s["want"] == "codes" else audio[i]
-                    )
-                with self._metrics_lock:
-                    self._metrics["batches_total"] += 1
-                    self._metrics["batch_slots_total"] += len(slots)
-                    self._metrics["batch_capacity_total"] += bucket
-                    self._bucket_counts[bucket] += 1
-                    self._metrics["batch_seconds_sum"] += t2 - t0
-                self._finish(slots)
-                logger.info(
-                    "batch n=%d dispatch=%.3fs run+fetch=%.3fs",
-                    len(slots), t1 - t0, t2 - t1,
-                )
-            except Exception as e:  # pragma: no cover - defensive
-                logger.exception("batch failed")
-                self._finish(slots, error=str(e))
+            slots: list = []
+            if special is None:
+                if pending is None:
+                    s = self._q.get()  # idle: block until work arrives
+                    if s is None:
+                        return
+                    if s.get("stream"):
+                        self._run_stream(s)
+                        continue
+                    slots.append(s)
+                    deadline = time.time() + self.max_wait_s
+                else:
+                    # device busy: collect until it is expected to finish
+                    est = pending["t0"] + max(self._batch_ema_s - 0.05, 0.0)
+                    deadline = max(est, time.time() + self.max_wait_s)
+                while len(slots) < self.batch:
+                    timeout = deadline - time.time()
+                    if timeout <= 0:
+                        break
+                    try:
+                        s = self._q.get(timeout=timeout)
+                    except queue.Empty:
+                        break
+                    if s is None:
+                        special = "close"
+                        break
+                    if s.get("stream"):
+                        special = s  # run once the device drains
+                        break
+                    slots.append(s)
+            new = self._dispatch(slots) if slots else None
+            if pending is not None:
+                self._fetch(pending)
+            pending = new
+            if special is not None and pending is None:
+                if special == "close":
+                    return
+                self._run_stream(special)
+                special = None
 
 
 def make_handler(service: GenerationService):

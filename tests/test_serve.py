@@ -80,6 +80,40 @@ def test_concurrent_requests_coalesce_into_one_batch(server):
                for row in codes for c in row)
 
 
+def test_burst_double_buffered_batches_fill(server):
+    """Under a burst larger than the batch, the double-buffered worker
+    collects batch N+1 during batch N's compute, so every request is
+    answered and the dispatched batches coalesce near capacity (the
+    worker never degenerates to one-dispatch-per-request past the
+    leading edge)."""
+    base, service = server
+    rng = np.random.default_rng(3)
+    n = 8  # 4x the compiled batch of 2
+    feats = [
+        rng.standard_normal((4, service.cond_dim)).astype(np.float32)
+        for _ in range(n)
+    ]
+    with service._metrics_lock:
+        before = service._metrics["batches_total"]
+    with concurrent.futures.ThreadPoolExecutor(n) as ex:
+        futs = [
+            ex.submit(_post, base, "/generate?raw=codes",
+                      {"features": f.tolist()})
+            for f in feats
+        ]
+        results = [f.result(120) for f in futs]
+    assert len(results) == n
+    for body in results:
+        codes = json.loads(body)["codes"]
+        assert len(codes) == service.system.num_codebooks
+    with service._metrics_lock:
+        batches = service._metrics["batches_total"] - before
+    # perfect coalescing = n/batch = 4; allow the leading edge (first
+    # request dispatches alone before the rest of the burst lands) and
+    # scheduling jitter, but fail the no-coalescing regression (8)
+    assert batches <= n - 1, f"burst of {n} dispatched {batches} batches"
+
+
 def test_input_validation(server):
     base, service = server
     with pytest.raises(urllib.error.HTTPError) as e:
