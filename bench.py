@@ -52,6 +52,15 @@ def main() -> None:
     )
     ap.add_argument("--no-int8", dest="int8", action="store_false")
     ap.add_argument(
+        "--int8-cache-only", action="store_true",
+        help="bf16 weights + int8 KV cache (implies --no-int8): the "
+             "quality-safe serving candidate for large batches — the "
+             "CACHE (17 GB bf16 at B=128), not the weights, is what "
+             "makes full-bf16 B=128 impossible on 16 GB HBM, and "
+             "cache-only quantization perturbs the logits far less "
+             "than weight+cache int8",
+    )
+    ap.add_argument(
         "--cache-bits", type=int, choices=[8, 4], default=8,
         help="KV-cache width under --int8: 4 = nibble-packed int4 "
              "(halves the cache stream again; quality caveat in "
@@ -249,6 +258,20 @@ def main() -> None:
 
     # bf16 weights for inference: halves the per-step HBM weight streaming
     params = cast_floats(params, jnp.bfloat16)
+    if args.int8_cache_only:
+        args.int8 = False
+        from vaura_tpu.models.vaura import VauraSystem as _VS
+
+        sampler_cfg = dataclasses.replace(
+            sampler_cfg, quantize_weights=False, quantize_cache=True,
+            cache_bits=args.cache_bits, int8_dots=args.int8_dots,
+        )
+        system = _VS(
+            sampler_config=sampler_cfg,
+            dac_config=dac_cfg,
+            encoder_config=enc_cfg,
+            use_visual_conditioning=bool(args.with_encoder),
+        )
     if args.int8:
         from vaura_tpu.models.vaura import VauraSystem as _VS
         from vaura_tpu.ops.quantization import quantize_sampler_params
@@ -311,7 +334,14 @@ def bench_encoder(args) -> None:
     CLS agg — reference motionformer.py:252-342) over a batch sweep."""
     from vaura_tpu.models.motionformer import MotionFormer, MotionFormerConfig
 
+    import dataclasses as _dc
+
     cfg = MotionFormerConfig(dtype=jnp.bfloat16)
+    if args.layers is not None:
+        # depth sweep decomposition: time(depth) = fixed + depth x
+        # per-block (patch embed + pos emb + agg layers are the fixed
+        # term) — run --layers {0,4,12} to locate the encoder's cost
+        cfg = _dc.replace(cfg, depth=args.layers)
     model = MotionFormer(cfg)
     params = jax.jit(
         lambda r: model.init(r, jnp.zeros((1, 1, 3, 16, 224, 224)))["params"]

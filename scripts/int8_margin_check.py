@@ -62,6 +62,13 @@ def main() -> None:
                     "teacher-forced full forward)")
     ap.add_argument("--int8-dots", action="store_true",
                     help="int8 x int8 attention dots in the quantized arm")
+    ap.add_argument("--cache-only", action="store_true",
+                    help="quantized arm = bf16 weights + int8 KV cache "
+                    "(serve.py quantize=cache; measured FASTER than full "
+                    "int8 at B=128 — decode is cache-bandwidth-bound). "
+                    "Teacher-forced rows compare identical graphs (the "
+                    "cache only exists in the decode loop); the rollout "
+                    "rows are the signal")
     args = ap.parse_args()
 
     import jax
@@ -140,9 +147,11 @@ def main() -> None:
 
     # ---- teacher-forced logits: bf16 vs int8 ----------------------- #
     def build(quantize: bool):
+        cache_only = quantize and args.cache_only
         cfg = dataclasses.replace(
             sampler_cfg, remat=False, dropout=0.0,
-            quantize_weights=quantize, quantize_cache=quantize,
+            quantize_weights=quantize and not cache_only,
+            quantize_cache=quantize,
             cache_bits=args.cache_bits if quantize else 8,
             int8_dots=args.int8_dots if quantize else False,
         )
@@ -152,7 +161,7 @@ def main() -> None:
             encoder_config=None,
             use_visual_conditioning=True,
         )
-        if quantize:
+        if quantize and not cache_only:
             from vaura_tpu.ops.quantization import quantize_sampler_params
 
             p = cast_floats(

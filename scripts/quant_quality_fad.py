@@ -157,11 +157,12 @@ def main() -> None:
     )(jax.random.PRNGKey(7))
     dac_params = jax.device_get(cast_floats(dac_params, jnp.bfloat16))
 
-    def build(quantize: bool, cache_bits: int = 8, int8_dots: bool = False):
+    def build(quantize: bool, cache_bits: int = 8, int8_dots: bool = False,
+              cache_only: bool = False):
         cfg = dataclasses.replace(
             sampler_cfg, remat=False, dropout=0.0,
-            quantize_weights=quantize, quantize_cache=quantize,
-            cache_bits=cache_bits if quantize else 8,
+            quantize_weights=quantize, quantize_cache=quantize or cache_only,
+            cache_bits=cache_bits if (quantize or cache_only) else 8,
             int8_dots=int8_dots,
         )
         sys_ = VauraSystem(
@@ -178,6 +179,7 @@ def main() -> None:
 
     arms = {
         "bf16": build(False),
+        "int8_cache": build(False, cache_only=True),
         "int8": build(True),
         "int8_dots": build(True, int8_dots=True),
         "int4_kv": build(True, cache_bits=4),
@@ -230,7 +232,7 @@ def main() -> None:
     noise_floor = frechet_audio_distance(emb_ref, emb_floor)
     print(f"# bf16 + floor rollouts done ({time.time()-t0:.0f}s)",
           flush=True)
-    for name in ("int8", "int8_dots", "int4_kv"):
+    for name in ("int8_cache", "int8", "int8_dots", "int4_kv"):
         emb, mel, tok = run_arm(*arms[name], seeds)
         results[name] = {
             "fad": round(frechet_audio_distance(emb_ref, emb), 4),

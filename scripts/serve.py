@@ -209,9 +209,26 @@ class GenerationService:
         self.ckpt_path = str(ckpt_path) if ckpt_path else None
         params = cast_floats(params, jnp.bfloat16)
         _, self._frozen_bf16 = split_params(self.system, params)
-        self._quantize = bool(cfg.get("quantize"))
+        qmode = cfg.get("quantize")
+        # "cache": int8 KV cache with bf16 weights — the quality-safe
+        # large-batch mode (a bf16 cache alone is ~17 GB at B=128; the
+        # cache, not the weights, is the HBM wall). Cache quantization
+        # is a graph property, not a params transform, so the reload
+        # path's weight re-quantization (self._quantize) stays off and
+        # the teacher-forced agreement gate does not apply (the decode
+        # cache never exists in a teacher-forced forward) — rollout
+        # validation lives in PERFORMANCE.md's quant-quality table.
+        self._quantize = bool(qmode) and qmode != "cache"
         self._quantize_min_agreement = 0.0
-        if cfg.get("quantize"):
+        if qmode == "cache":
+            import dataclasses as _dc
+
+            self.system.sampler_config = _dc.replace(
+                self.system.sampler_config, quantize_cache=True
+            )
+            self.system.__post_init__()
+            logger.info("int8 KV cache with bf16 weights (quantize=cache)")
+        elif self._quantize:
             import dataclasses as _dc
 
             from vaura_tpu.ops.quantization import quantize_sampler_params

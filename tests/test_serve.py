@@ -149,6 +149,41 @@ def test_quantize_gate(tmp_path):
     assert svc.system.sampler_config.quantize_weights
 
 
+def test_quantize_cache_mode(tmp_path):
+    """serve quantize=cache: bf16 weights + int8 KV cache (the measured
+    large-batch sweet spot — the cache, not the weights, is the HBM
+    wall). Weights stay unquantized, the teacher-forced agreement gate
+    is not armed, and a generation round-trips."""
+    import jax
+    import jax.numpy as jnp
+
+    from scripts.serve import GenerationService
+    from vaura_tpu.config import assemble_config
+
+    cfg = dict(
+        assemble_config(
+            [f"config={REPO / 'configs/experiments/dummy.yaml'}"],
+            defaults_path=REPO / "configs" / "vaura_defaults.yaml",
+            base_dir=REPO,
+        )
+    )
+    cfg.update(batch=1, duration=0.15, quantize="cache")
+    svc = GenerationService(cfg)
+    try:
+        assert svc.system.sampler_config.quantize_cache
+        assert not svc.system.sampler_config.quantize_weights
+        assert not svc._quantize  # reload path must NOT requantize params
+        # bf16 weights really are bf16 (not int8 pairs)
+        leaf = jax.tree.leaves(svc.params["sampler"])[0]
+        assert leaf.dtype in (jnp.bfloat16, jnp.float32, jnp.int32)
+        svc.start()
+        feats = np.zeros((4, svc.cond_dim), np.float32)
+        out = svc.submit(feats, want="codes")
+        assert out.shape[0] == svc.system.num_codebooks
+    finally:
+        svc.close()
+
+
 def test_fixed_conditioning_length(server):
     """The server pads every request to one fixed Tv (single compiled
     graph) and rejects longer feature sequences instead of recompiling
