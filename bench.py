@@ -105,6 +105,14 @@ def main() -> None:
              "drops to 32 where the whole pipeline fits)",
     )
     ap.add_argument(
+        "--int8-encoder", action="store_true",
+        help="int8 MotionFormer inference (encoder mode and "
+             "--with-encoder): divided-block matmuls run int8 weights x "
+             "dynamically-quantized int8 activations on the MXU's 2x "
+             "int8 rate (quality bound: rel-L2 < 5%% at RANDOM weights, "
+             "tests/test_encoder_quant.py; opt-in, never a default)",
+    )
+    ap.add_argument(
         "--encoder-chunk", type=int, default=None,
         help="with --with-encoder: run the visual encoder over sequential "
              "batch slices (lax.map) so the ViT's frame/activation "
@@ -164,7 +172,8 @@ def main() -> None:
         config_for_sample_rate(44100), dtype=jnp.bfloat16
     )
     enc_cfg = (
-        MotionFormerConfig(dtype=jnp.bfloat16) if args.with_encoder else None
+        MotionFormerConfig(dtype=jnp.bfloat16, quantize=args.int8_encoder)
+        if args.with_encoder else None
     )
     system = VauraSystem(
         sampler_config=sampler_cfg,
@@ -342,6 +351,8 @@ def bench_encoder(args) -> None:
         # per-block (patch embed + pos emb + agg layers are the fixed
         # term) — run --layers {0,4,12} to locate the encoder's cost
         cfg = _dc.replace(cfg, depth=args.layers)
+    if args.int8_encoder:
+        cfg = _dc.replace(cfg, quantize=True)
     model = MotionFormer(cfg)
     params = jax.jit(
         lambda r: model.init(r, jnp.zeros((1, 1, 3, 16, 224, 224)))["params"]
@@ -563,20 +574,23 @@ def bench_train(args) -> None:
     model_flops = 6 * n_params * B * S + attn_quad * B
     V5E_BF16_PEAK = 197e12
     mfu = model_flops / dt / V5E_BF16_PEAK
-    # HFU: what the compiled step actually executes (includes remat
-    # recompute and the DAC encode when --precomputed-codes is off)
-    try:
-        lowered = jax.jit(train_step, donate_argnums=(0,)).lower(
-            state, audio, codes, vis, jax.random.PRNGKey(0)
-        )
-        hlo_flops = lowered.compile().cost_analysis()["flops"]
-        hfu = float(hlo_flops) / dt / V5E_BF16_PEAK
-    except Exception:
-        hfu = None
+    # HFU (analytic): what the step actually executes. 6N/step splits
+    # 2N forward + 4N backward; full remat ("save nothing") recomputes
+    # the forward inside the backward (+2N -> 8/6), dots policies save
+    # the matmul outputs (recompute is elementwise-only -> ~6/6). The
+    # compiled-HLO cost_analysis() flop count is NOT used: on TPU (and
+    # through the remote-relay PJRT client) it returns partial/garbage
+    # numbers (measured 5.2% "HFU" under a 21.0% MFU, which is
+    # impossible with remat).
+    remat_mult = (
+        8.0 / 6.0
+        if (not args.no_remat and args.remat_policy is None)
+        else 1.0
+    )
+    hfu = mfu * remat_mult
     print(f"# train MFU {mfu*100:.1f}% (model {model_flops/1e12:.2f} "
           f"TFLOP/step over {n_params/1e6:.0f}M params, {dt*1e3:.0f} ms)"
-          + (f", HFU {hfu*100:.1f}% (compiled-HLO flops incl. remat)"
-             if hfu is not None else ""))
+          f", HFU {hfu*100:.1f}% (analytic, remat x{remat_mult:.2f})")
     # vs_baseline: the reference recipe consumes 12 samples/step on each of
     # 4 GPUs; one chip matching one reference GPU's per-step batch in `dt`
     # seconds gives the ratio below (no published step time to compare to)

@@ -63,6 +63,42 @@ def quantize_sampler_params(sampler_params: Dict[str, Any]) -> Dict[str, Any]:
     return unflatten_dict(out)
 
 
+# divided-block matmul kernels in a MotionFormer param tree (stacked
+# [depth, in, out] under the nn.scan axis; biases stay float). The block
+# stack is ~92% of encoder time (bench.py --mode encoder --layers sweep),
+# so these six kernels are where the int8 MXU rate pays.
+ENCODER_QUANT_PATHS: Sequence[str] = (
+    "blocks/timeattn/qkv/kernel",
+    "blocks/timeattn/proj/kernel",
+    "blocks/attn/qkv/kernel",
+    "blocks/attn/proj/kernel",
+    "blocks/mlp/fc1/kernel",
+    "blocks/mlp/fc2/kernel",
+)
+
+
+def quantize_encoder_params(encoder_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize the divided-block Dense kernels of a MotionFormer param
+    tree for ``MotionFormerConfig.quantize=True`` inference (int8 weights
+    + dynamic int8 activations; see ``models.motionformer.EncDense``).
+    Returns a new tree; every other leaf (biases, LayerNorms, patch
+    embed, agg layers, attention internals) is unchanged."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = dict(flatten_dict(encoder_params))
+    out = {}
+    for key, value in flat.items():
+        path = "/".join(map(str, key))
+        if path in ENCODER_QUANT_PATHS:
+            qd = quantize_weight(np.asarray(value))
+            base = key[:-1]
+            out[base + ("kernel_q",)] = jnp.asarray(qd["kernel_q"])
+            out[base + ("scale",)] = jnp.asarray(qd["scale"])
+        else:
+            out[key] = value
+    return unflatten_dict(out)
+
+
 def quant_dense(x: jax.Array, params: Dict[str, jax.Array]) -> jax.Array:
     """y = (x @ int8_kernel) * scale — the upcast fuses into the matmul so
     HBM reads stay int8."""
