@@ -64,6 +64,15 @@ class MotionFormerConfig:
     # stays the reference implementation (oracle-parity-tested); the
     # kernel is numerically equivalent up to bf16 rounding.
     fused_divided_attention: Optional[bool] = None
+    # Whole-sublayer fused encoder blocks (ops/encoder_fused.py): each
+    # divided-attention sublayer (LN + qkv + grouped attention + proj +
+    # residual) runs as ONE Pallas kernel with VMEM-resident weights, the
+    # CLS row carried as a separate [B,1,D] array and two XLA transposes
+    # per block alternating the token layout between the time (n-major)
+    # and space (f-major) sublayers. Inference-only (falls back to the
+    # einsum/fused-core path when training, quantized, or non-divided).
+    # None = auto (on on TPU); True forces it elsewhere (interpret mode).
+    fused_encoder_block: Optional[bool] = None
     # int8 inference for the frozen encoder (opt-in, never default): the
     # divided block's Dense layers take int8 per-output-channel weights
     # (ops.quantization.quantize_encoder_params) and dynamically
@@ -150,11 +159,19 @@ class EncDense(nn.Module):
     config: MotionFormerConfig
     features: int
     use_bias: bool = True
+    in_features: Optional[int] = None  # for x=None param access only
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self, x: Optional[jax.Array], return_params: bool = False
+    ):
         cfg = self.config
         if cfg.quantize:
+            if x is None:
+                raise ValueError(
+                    "EncDense param access (x=None) is float-path only; "
+                    "the fused encoder block is gated off under quantize"
+                )
             from vaura_tpu.ops.quantization import quantize_rows
 
             q = self.param(
@@ -177,18 +194,49 @@ class EncDense(nn.Module):
                 )
                 y = y + b
             return y.astype(cfg.dtype)
+        if x is not None:
+            in_dim = x.shape[-1]
+        else:
+            in_dim = self.in_features or cfg.embed_dim
         kernel = self.param(
-            "kernel", _trunc_normal(), (x.shape[-1], self.features),
+            "kernel", _trunc_normal(), (in_dim, self.features),
             cfg.param_dtype,
         )
-        y = jnp.dot(x.astype(cfg.dtype), kernel.astype(cfg.dtype))
+        b = None
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.features,),
                 cfg.param_dtype,
             )
-            y = y + b.astype(cfg.dtype)
+        y = None
+        if x is not None:
+            y = jnp.dot(x.astype(cfg.dtype), kernel.astype(cfg.dtype))
+            if b is not None:
+                y = y + b.astype(cfg.dtype)
+        if return_params:
+            return y, (kernel, b)
         return y
+
+
+class EncLayerNorm(nn.Module):
+    """``nn.LayerNorm`` drop-in for the divided blocks (identical param
+    names/shapes and numerics: f32 fast-variance stats, scale/bias in f32,
+    cast to compute dtype) that can hand its raw params to the fused
+    sublayer kernel (``__call__(None)`` returns ``(scale, bias)``)."""
+
+    config: MotionFormerConfig
+
+    @nn.compact
+    def __call__(self, x: Optional[jax.Array] = None):
+        cfg = self.config
+        D = cfg.embed_dim
+        scale = self.param("scale", nn.initializers.ones, (D,), cfg.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (D,), cfg.param_dtype)
+        if x is None:
+            return scale, bias
+        from vaura_tpu.ops.encoder_fused import _layernorm
+
+        return _layernorm(x, scale, bias, cfg.norm_eps).astype(cfg.dtype)
 
 
 def _masked_softmax_attn(q, k, v):
@@ -207,8 +255,32 @@ class DividedAttention(nn.Module):
     config: MotionFormerConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, axis: str, f: int, n: int) -> jax.Array:
+    def __call__(self, x, axis: str, f: int, n: int):
         cfg = self.config
+        if isinstance(x, tuple):
+            # Whole-sublayer fused path (ops/encoder_fused.py): x is
+            # (x_cls [B,1,D], x_tok [B,G*L,D] group-major, ln_scale,
+            # ln_bias); LN + qkv + grouped attention + proj + residual
+            # run as one Pallas kernel. Returns (y_cls, y_tok).
+            from vaura_tpu.ops.encoder_fused import fused_attention_sublayer
+
+            x_cls, x_tok, lns, lnb = x
+            D = cfg.embed_dim
+            _, (wqkv, bqkv) = EncDense(
+                cfg, 3 * D, use_bias=cfg.qkv_bias, name="qkv"
+            )(None, return_params=True)
+            _, (wproj, bproj) = EncDense(cfg, D, name="proj")(
+                None, return_params=True
+            )
+            y_tok, y_cls = fused_attention_sublayer(
+                x_tok, x_cls, lns, lnb, wqkv, bqkv, wproj, bproj,
+                num_heads=cfg.num_heads,
+                L=f if axis == "time" else n,
+                eps=cfg.norm_eps,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return y_cls, y_tok
+
         B, N, D = x.shape  # N = 1 + f*n
         H, hd = cfg.num_heads, cfg.head_dim
         qkv = EncDense(cfg, 3 * D, use_bias=cfg.qkv_bias, name="qkv")(x)
@@ -308,8 +380,20 @@ class Mlp(nn.Module):
     out: int
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(
+        self, x: Optional[jax.Array], train: bool, return_params: bool = False
+    ):
         cfg = self.config
+        if return_params:
+            # fused-block path: expose raw fc1/fc2 params for the Pallas
+            # MLP sublayer kernel (float path only; same param tree)
+            _, (w1, b1) = EncDense(cfg, self.hidden, name="fc1")(
+                None, return_params=True
+            )
+            _, (w2, b2) = EncDense(
+                cfg, self.out, in_features=self.hidden, name="fc2"
+            )(None, return_params=True)
+            return (w1, b1, w2, b2)
         x = EncDense(cfg, self.hidden, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(cfg.drop_rate, deterministic=not train)(x)
@@ -328,10 +412,45 @@ class DividedSpaceTimeBlock(nn.Module):
     def __call__(self, x, broadcast_in, drop_path_rate):
         cfg = self.config
         f, n, train = broadcast_in
-        ln = lambda name: nn.LayerNorm(
-            epsilon=cfg.norm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-            name=name,
-        )
+        if isinstance(x, tuple):
+            # Fused-sublayer path (inference): the carry is
+            # (x_cls [B,1,D], x_tok [B,f*n,D] f-major). Each attention
+            # sublayer is one Pallas kernel on group-major tokens; the
+            # residual stream transposes f-major <-> n-major around the
+            # time sublayer (2 XLA transposes per block). Drop-path is
+            # identity here (gated on ``not train``).
+            x_cls, x_tok = x
+            B, D = x_tok.shape[0], cfg.embed_dim
+            s3, b3 = EncLayerNorm(cfg, name="norm3")(None)
+            xt = x_tok.reshape(B, f, n, D).transpose(0, 2, 1, 3)
+            xt = xt.reshape(B, n * f, D)
+            y_cls, y_tok = DividedAttention(cfg, name="timeattn")(
+                (x_cls, xt, s3, b3), "time", f, n
+            )
+            y_tok = y_tok.reshape(B, n, f, D).transpose(0, 2, 1, 3)
+            x_tok, x_cls = y_tok.reshape(B, f * n, D), y_cls
+            s1, b1 = EncLayerNorm(cfg, name="norm1")(None)
+            x_cls, x_tok = DividedAttention(cfg, name="attn")(
+                (x_cls, x_tok, s1, b1), "space", f, n
+            )
+            ln2 = EncLayerNorm(cfg, name="norm2")
+            mlp = Mlp(
+                cfg, int(cfg.embed_dim * cfg.mlp_ratio), cfg.embed_dim,
+                name="mlp",
+            )
+            from vaura_tpu.ops.encoder_fused import fused_mlp_sublayer
+
+            w1, b1, w2, b2 = mlp(None, False, return_params=True)
+            s2, b2n = ln2(None)
+            x_tok = fused_mlp_sublayer(
+                x_tok, s2, b2n, w1, b1, w2, b2,
+                eps=cfg.norm_eps,
+                interpret=jax.default_backend() != "tpu",
+            )
+            x_cls = x_cls + mlp(ln2(x_cls), False)
+            return (x_cls, x_tok), drop_path_rate
+
+        ln = lambda name: EncLayerNorm(cfg, name=name)
         time_out = DividedAttention(cfg, name="timeattn")(
             ln("norm3")(x), "time", f, n
         )
@@ -651,10 +770,33 @@ class MotionFormer(nn.Module):
             out_axes=0,
             length=cfg.depth,
         )(cfg, name="blocks")
-        x, _ = blocks(x, (t, hw, train), dpr)
+        use_fused_block = cfg.fused_encoder_block
+        if use_fused_block is None:
+            use_fused_block = jax.default_backend() == "tpu"
+        use_fused_block = (
+            use_fused_block
+            and cfg.attn_layer == "divided"
+            and not cfg.quantize
+            and not train
+            # kernel shape contract (ops/encoder_fused.py): lane-divisible
+            # embed dim, head dim dividing a 128-lane slab, and a hidden
+            # dim that slabs into D-wide chunks — odd/tiny configs fall
+            # back to the einsum path instead of raising
+            and cfg.embed_dim % 128 == 0
+            and 128 % (cfg.embed_dim // cfg.num_heads) == 0
+            and int(cfg.embed_dim * cfg.mlp_ratio) % cfg.embed_dim == 0
+        )
+        if use_fused_block:
+            # CLS carried as a separate [B,1,D] array so the fused
+            # sublayer kernels see Mosaic-legal token packs; the final
+            # feature path drops CLS anyway (x[:, 1:] below).
+            (_, x), _ = blocks((x[:, :1], x[:, 1:]), (t, hw, train), dpr)
+        else:
+            x, _ = blocks(x, (t, hw, train), dpr)
+            x = x[:, 1:]
 
-        # feature extraction: drop CLS, then norm (reference motionformer.py:317-321)
-        x = x[:, 1:]
+        # feature extraction: CLS already dropped above, then norm
+        # (reference motionformer.py:317-321)
         x = nn.LayerNorm(
             epsilon=cfg.norm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
             name="norm",
