@@ -84,6 +84,20 @@ def main() -> None:
                     help="long mode: total seconds per sample")
     ap.add_argument("--stride", type=float, default=0.64,
                     help="long mode: chunk stride seconds (sparse config)")
+    ap.add_argument("--long-kv", action="store_true",
+                    help="long mode: rolling-KV streaming decode "
+                         "(generate_long_kv) instead of chunk re-prefill "
+                         "— one continuous scan, zero prompt recompute; "
+                         "window defaults to 4x56 steps ~ the flagship's "
+                         "trained 221-token context")
+    ap.add_argument("--window-chunks", type=int, default=4,
+                    help="--long-kv: trailing chunks queries attend")
+    ap.add_argument("--chunk-steps", type=int, default=56,
+                    help="--long-kv: steps per rolling cache chunk "
+                         "(8-aligned)")
+    ap.add_argument("--sink-chunks", type=int, default=0,
+                    help="--long-kv: StreamingLLM-style pinned anchor "
+                         "chunks (0 = pure sliding window)")
     ap.add_argument("--layers", type=int, default=None,
                     help="override decoder layer count (AR cost "
                          "decomposition: time(L) = fixed + L * per_layer)")
@@ -405,6 +419,15 @@ def bench_long(args) -> None:
 
     B = args.batch
     sampler_cfg = SamplerConfig()
+    if args.long_kv:
+        # rolling-KV streaming needs the RoPE freqs table to cover the
+        # whole horizon (RoPE is relative, so positions past the trained
+        # range only ever appear at in-window relative offsets)
+        need = int(args.duration * TOKENS_PER_SECOND) + 64
+        sampler_cfg = dataclasses.replace(
+            sampler_cfg,
+            block_size_audio=max(sampler_cfg.block_size_audio, need),
+        )
     if args.int8:
         sampler_cfg = dataclasses.replace(
             sampler_cfg, quantize_weights=True, quantize_cache=True,
@@ -451,20 +474,35 @@ def bench_long(args) -> None:
         jnp.float32,
     )
 
+    # 4x-longer waveforms: DAC activation temps OOM at full batch
+    # (measured B=32 x 10.24 s); decode in lax.map slices sized so
+    # each slice carries ~the 2.56 s x 8-clip footprint
+    dac_chunk = max(1, int(8 * 2.56 / args.duration * 4))
+
     def run(rng):
-        out = system.generate_long(
-            params, None, rng,
-            total_tokens=total_tokens,
-            stride_tokens=stride_tokens,
-            vis_feats_segments=feats,
-            decode_to_audio=True,
-            # 4x-longer waveforms: DAC activation temps OOM at full batch
-            # (measured B=32 x 10.24 s); decode in lax.map slices sized so
-            # each slice carries ~the 2.56 s x 8-clip footprint
-            dac_chunk_size=max(1, int(8 * 2.56 / args.duration * 4)),
-            temp=1.0, top_k=args.top_k, cfg_scale=args.cfg_scale,
-            decode_buckets=args.decode_buckets,
-        )
+        if args.long_kv:
+            out = system.generate_long_kv(
+                params, None, rng,
+                total_tokens=total_tokens,
+                vis_feats_segments=feats,
+                window_chunks=args.window_chunks,
+                chunk_steps=args.chunk_steps,
+                sink_chunks=args.sink_chunks,
+                decode_to_audio=True,
+                dac_chunk_size=dac_chunk,
+                temp=1.0, top_k=args.top_k, cfg_scale=args.cfg_scale,
+            )
+        else:
+            out = system.generate_long(
+                params, None, rng,
+                total_tokens=total_tokens,
+                stride_tokens=stride_tokens,
+                vis_feats_segments=feats,
+                decode_to_audio=True,
+                dac_chunk_size=dac_chunk,
+                temp=1.0, top_k=args.top_k, cfg_scale=args.cfg_scale,
+                decode_buckets=args.decode_buckets,
+            )
         return np.asarray(
             jax.device_get(jnp.sum(jnp.abs(out["audio"])))
         )
@@ -484,6 +522,7 @@ def bench_long(args) -> None:
         "vs_baseline": round(value / 5.0, 3),
         "duration_s": args.duration,
         "stride_s": args.stride,
+        "long_kv": bool(args.long_kv),
         "batch": B,
         "p50_batch_seconds": round(p50, 3),
         "p50_latency_per_clip_s": round(p50, 3),

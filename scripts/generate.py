@@ -201,6 +201,22 @@ def generate(cfg: dict) -> dict:
     stride_tokens = int(COMPRESSION_MODEL_FRAME_RATE * stride)
     model_max_tokens = int(model_max_duration * COMPRESSION_MODEL_FRAME_RATE)
 
+    # long_mode: "reprefill" (reference generate.py:327-370 striding) or
+    # "stream_kv" (rolling-KV continuous decode, generate_long_kv — zero
+    # prompt recompute; ~2x long-horizon throughput, PERFORMANCE.md r5)
+    long_mode = str(cfg.get("long_mode", "reprefill")).lower()
+    if long_mode not in ("reprefill", "stream_kv"):
+        raise ValueError(f"unknown long_mode: {long_mode!r}")
+    if long_mode == "stream_kv" and duration > model_max_duration:
+        import dataclasses as _dc_lm
+
+        need = total_gen_len + 64  # interleave delays + headroom
+        if system.sampler_config.block_size < need:
+            system.sampler_config = _dc_lm.replace(
+                system.sampler_config, block_size_audio=need
+            )
+            system.__post_init__()
+
     out_dir = Path(cfg.get("output_dir", "./generated"))
     out_dir.mkdir(parents=True, exist_ok=True)
     with open(out_dir / "config.yaml", "w") as f:
@@ -331,6 +347,16 @@ def generate(cfg: dict) -> dict:
 
                 fn = cached_jit(_jits, "gen", key, _gen)
                 item = fn(params, frames, gen_rng, prompt_codes)
+            elif long_mode == "stream_kv":
+                item = system.generate_long_kv(
+                    params, frames, gen_rng,
+                    total_tokens=total_gen_len,
+                    vfps=vfps,
+                    window_chunks=int(cfg.get("window_chunks", 4)),
+                    chunk_steps=int(cfg.get("chunk_steps", 56)),
+                    sink_chunks=int(cfg.get("sink_chunks", 0)),
+                    **sampling,
+                )
             else:
                 item = system.generate_long(
                     params, frames, gen_rng,

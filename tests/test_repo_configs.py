@@ -23,7 +23,7 @@ def _assemble(cfg_rel: str, *overrides: str) -> dict:
 
 def test_main_experiment_config():
     cfg = _assemble(
-        "configs/experiments/vggsound/9cb-viscond-avclip-channel_concat-llama.yaml"
+        "configs/experiments/vggsound/avclip/9cb-viscond-avclip-channel_concat-llama.yaml"
     )
     assert cfg["action"] == "train"
     # defaults layered under the experiment

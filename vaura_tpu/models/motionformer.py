@@ -773,6 +773,8 @@ class MotionFormer(nn.Module):
         use_fused_block = cfg.fused_encoder_block
         if use_fused_block is None:
             use_fused_block = jax.default_backend() == "tpu"
+        from vaura_tpu.ops.encoder_fused import _MAX_ROWS
+
         use_fused_block = (
             use_fused_block
             and cfg.attn_layer == "divided"
@@ -785,6 +787,13 @@ class MotionFormer(nn.Module):
             and cfg.embed_dim % 128 == 0
             and 128 % (cfg.embed_dim // cfg.num_heads) == 0
             and int(cfg.embed_dim * cfg.mlp_ratio) % cfg.embed_dim == 0
+            # VMEM pack contract: each attention group (L=t on the time
+            # axis, L=hw on the space axis) must fit one grid cell's
+            # [R, R] f32 score buffer — at img_size=384 hw=576 > 512
+            # and no legal pack exists, so fall back instead of letting
+            # _pick_pack raise at trace time
+            and t <= _MAX_ROWS
+            and hw <= _MAX_ROWS
         )
         if use_fused_block:
             # CLS carried as a separate [B,1,D] array so the fused

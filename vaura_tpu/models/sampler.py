@@ -272,8 +272,20 @@ class Attention(nn.Module):
         scale = 1.0 / math.sqrt(cfg.head_dim)
         rep = cfg.nhead // cfg.n_kv_heads
 
+        if cache_kv is not None:
+            # chunk_masks must align with cache_kv: zip() would silently
+            # drop later chunks from attention (wrong logits, no crash)
+            assert len(cache_kv) == len(chunk_masks), (
+                f"cache_kv has {len(cache_kv)} chunks but chunk_masks has "
+                f"{len(chunk_masks)} entries"
+            )
         if (cache_kv is not None and cfg.use_pallas_decode and rep == 1
-                and not cfg.quantize_cache and len(cache_kv) == 1):
+                and not cfg.quantize_cache and len(cache_kv) == 1
+                # decode_attention pads the cache to a 64-multiple length
+                # with a jnp.pad — a full-cache HBM copy EVERY step for
+                # misaligned chunks (bucketed segments are 8-aligned, not
+                # 64); keep the Pallas path to copy-free shapes
+                and cache_kv[0][0].shape[1] % 64 == 0):
             # Pallas kernel: DMAs exactly ceil(pos/BLOCK) cache blocks
             from vaura_tpu.ops.pallas_attention import decode_attention
 
@@ -711,8 +723,13 @@ class Sampler(nn.Module):
         cond_feats: jax.Array,  # [B, Tv, cond_in_dim] raw visual features
         train: bool = False,
         tokens_per_frame: Optional[int] = None,
+        attn_mask: Optional[jax.Array] = None,  # [S, S] bool (causal subset)
     ) -> jax.Array:
-        """Teacher-forced causal forward (reference ``llama.py:445-517``)."""
+        """Teacher-forced causal forward (reference ``llama.py:445-517``).
+
+        ``attn_mask`` overrides the causal tril (must be a subset of it) —
+        used by the windowed-attention oracle that pins the rolling-KV
+        streaming decode's semantics (``tests/test_stream_kv.py``)."""
         cfg = self.config
         B, K, S = tokens.shape
         tok_emb = self.tok_embeddings(tokens)  # [B, S, token_dim]
@@ -725,7 +742,10 @@ class Sampler(nn.Module):
         h = jnp.concatenate([cond_seq, tok_emb], axis=-1)  # [B, S, d_model]
         h = self.tok_dropout(h, deterministic=not train)
         freqs_cis = self._freqs()[:S]
-        mask = jnp.tril(jnp.ones((S, S), dtype=bool))
+        mask = (
+            attn_mask if attn_mask is not None
+            else jnp.tril(jnp.ones((S, S), dtype=bool))
+        )
         h, _ = self._run_blocks(
             h, freqs_cis, mask, None, jnp.int32(0), train, "train"
         )

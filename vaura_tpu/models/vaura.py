@@ -552,6 +552,125 @@ class VauraSystem:
             lo = hi
         return rest[0]
 
+    def generate_tokens_streaming(
+        self,
+        params: Dict[str, Any],
+        cond_seq: jax.Array,  # [(2)B, S, cond_dim]
+        gen_seq_init: jax.Array,  # [B, K, S]
+        rng: jax.Array,
+        *,
+        S: int,
+        valid_mask: np.ndarray,
+        window_chunks: int = 4,
+        chunk_steps: int = 56,
+        sink_chunks: int = 0,
+        cache_dtype=None,
+        use_sampling: bool = True,
+        temp: float = 1.0,
+        top_k: int = 256,
+        top_p: float = 0.0,
+        cfg_scale: float = 1.0,
+    ) -> jax.Array:
+        """Continuous decode over the FULL ``S``-step sequence with a
+        fixed-size **rolling** chunked KV cache — the long-horizon fast
+        path that replaces per-chunk re-prefill (``generate_long`` /
+        reference ``scripts/generate.py:327-370``) with zero recompute:
+
+        * The step range splits into ``chunk_steps``-sized segments; each
+          segment's K/V live in their own physically separate chunk
+          buffer (the ``generate_tokens`` bucketed-decode machinery).
+        * Segment j's scan carries only the ``sink_chunks`` oldest chunks
+          plus the trailing ``window_chunks`` chunks — queries attend a
+          sliding window of the last ``(window_chunks-1)..window_chunks *
+          chunk_steps`` positions (plus optional StreamingLLM-style sink
+          anchors). Dropping a chunk is just not carrying it: no copy, no
+          mask change (frozen chunks always hold positions below ``pos``).
+        * Positions stay GLOBAL. RoPE scores depend only on ``p - m``
+          (the rotation is a unitary map applied to both sides), so
+          un-rebased absolute positions are *exact*: no de-rotation, no
+          int8 cache re-quantization at window slides. The only
+          requirement is ``sampler_config.block_size >= S`` for the
+          freqs table.
+        * Chunk start offsets and step indices enter the per-segment jit
+          as traced scalars, so every steady-state segment reuses ONE
+          compiled graph (ramp/final segments differ in chunk shapes and
+          compile once each).
+
+        Semantics note (why this is not bit-equal to the re-prefill
+        path): re-prefill recomputes carried tokens' K/V against the new
+        chunk's truncated history; here each position's K/V keep the
+        history they were originally computed with (strictly more
+        context). With ``window_chunks * chunk_steps >= S`` nothing ever
+        drops and the result is token-identical to ``generate`` —
+        locked by ``tests/test_stream_kv.py``.
+        """
+        cache_batch = cond_seq.shape[0]
+        cdtype = cache_dtype or self.sampler_config.dtype
+        C = int(chunk_steps)
+        assert C % 8 == 0, "chunk_steps must be 8-aligned (cache layout)"
+        assert window_chunks >= 1
+        sampling_kwargs = dict(
+            use_sampling=use_sampling, temp=temp, top_k=top_k, top_p=top_p,
+            cfg_scale=cfg_scale,
+        )
+        # segment step bounds [1,C), [C,2C), ..., [kC, S); chunk j backs
+        # steps [lo_j, hi_j) which write positions [lo_j-1, hi_j-1)
+        eff = [h for h in range(C, S, C)] + [S]
+        chunk_bounds = [0] + [h - 1 for h in eff[:-1]] + [S]
+
+        def _seg_fn(params, chunks, starts, gen_seq, cond_seq, rng, steps):
+            step = self.build_generation_step(
+                S=S, valid_mask=valid_mask, chunk_starts=starts,
+                **sampling_kwargs,
+            )
+
+            def body(carry, s):
+                return step(params["sampler"], carry, s)
+
+            carry, _ = jax.lax.scan(
+                body, (chunks, gen_seq, cond_seq, rng), steps
+            )
+            return carry
+
+        from vaura_tpu.utils import cached_jit
+
+        fn = cached_jit(
+            self, "_streamkv_jit",
+            (S, C, window_chunks, sink_chunks, cache_batch,
+             str(cdtype), gen_seq_init.shape, cond_seq.shape,
+             tuple(sorted(sampling_kwargs.items()))),
+            _seg_fn,
+            donate_argnums=(1, 3, 4, 5),
+        )
+
+        kept: list = []  # [(chunk_index, buffers)] — sinks + trailing window
+        gen_seq, cond, rng_c = gen_seq_init, cond_seq, rng
+        lo = 1
+        for j, hi in enumerate(eff):
+            kept.append((
+                j,
+                self.sampler.init_cache(
+                    cache_batch, chunk_bounds[j + 1] - chunk_bounds[j],
+                    dtype=cdtype,
+                ),
+            ))
+            sink = [e for e in kept if e[0] < sink_chunks]
+            roll = [e for e in kept if e[0] >= sink_chunks]
+            if len(roll) > window_chunks:
+                roll = roll[-window_chunks:]
+            kept = sink + roll
+            chunk_tuple = tuple(c for _, c in kept)
+            starts = tuple(
+                jnp.int32(chunk_bounds[i]) for i, _ in kept
+            )
+            steps = jnp.arange(lo, hi, dtype=jnp.int32)
+            chunk_tuple, gen_seq, cond, rng_c = fn(
+                params, chunk_tuple, starts, gen_seq, cond, rng_c, steps
+            )
+            kept = [(i, c) for (i, _), c in zip(kept, chunk_tuple)]
+            lo = hi
+        return gen_seq
+
     def build_cond_seq_for_generation(
         self,
         params: Dict[str, Any],
@@ -935,6 +1054,117 @@ class VauraSystem:
             assert new.shape[-1] == n_new  # schedule <-> generate contract
             yield new
             prompt = gen_tokens[:, :, stride_tokens:]
+
+    def generate_long_kv(
+        self,
+        params: Dict[str, Any],
+        frames: Optional[jax.Array],  # [B, S_total, C, T, H, W]
+        rng: jax.Array,
+        *,
+        total_tokens: int,
+        vfps: float = 25.0,
+        frames_per_segment: int = 16,
+        tokens_per_frame: int = 7,
+        vis_feats_segments: Optional[jax.Array] = None,  # [B, S_total, t, D]
+        window_chunks: int = 4,
+        chunk_steps: int = 56,
+        sink_chunks: int = 0,
+        decode_to_audio: bool = True,
+        dac_chunk_size: Optional[int] = None,
+        encoder_chunk_size: Optional[int] = None,
+        check: bool = False,
+        **sampling,
+    ) -> Dict[str, jax.Array]:
+        """Long-horizon generation with a CARRIED rolling KV cache — the
+        TPU-first alternative to ``generate_long``'s chunk re-prefill
+        (reference ``scripts/generate.py:327-370``): ONE continuous
+        decode over the full token horizon, windowed attention via the
+        rolling chunk machinery (``generate_tokens_streaming``), zero
+        prompt re-prefill. The visual encoder still runs once over all
+        segments; the conditioning stream is laid out over the whole
+        horizon (segments wrap modulo the video length, like the
+        re-prefill path's sliding window).
+
+        Attention window: ``(window_chunks-1)..window_chunks *
+        chunk_steps`` trailing steps (defaults 168..224 ≈ the flagship's
+        trained 221-token context) + ``sink_chunks`` pinned anchor
+        chunks. The RoPE freqs table must cover the horizon:
+        ``sampler_config.block_size >= S`` (raise ``block_size_audio``
+        when constructing the system for long-form use).
+
+        Exactness contract: with ``window_chunks * chunk_steps >= S``
+        this is token-identical to ``generate(max_new_tokens=
+        total_tokens)``; with a finite window each position's K/V keep
+        their original full-history values (strictly MORE context than
+        the re-prefill path, which truncates carried tokens' history to
+        the chunk window) — semantics locked by ``tests/test_stream_kv.py``
+        against a windowed-mask teacher-forced oracle.
+        """
+        params = self._resolve_params(params)
+        K = self.num_codebooks
+        pattern, valid_mask, S = self.prepare_generation(total_tokens)
+        if self.sampler_config.block_size < S:
+            raise ValueError(
+                f"generate_long_kv: horizon needs {S} RoPE positions but "
+                f"sampler block_size is {self.sampler_config.block_size} "
+                "— raise SamplerConfig.block_size_audio"
+            )
+        vis_feats_segments = self._long_encode_segments(
+            params, frames, vis_feats_segments, chunk_size=encoder_chunk_size
+        )
+        B, S_total, t_seg, D = vis_feats_segments.shape
+        n_feat = -(-S // tokens_per_frame)
+        n_seg = -(-n_feat // t_seg)
+        seg_idx = np.arange(n_seg) % S_total  # video wraps when audio outlasts it
+        cfg_scale = float(sampling.get("cfg_scale", 1.0))
+        use_cfg = cfg_scale > 1.0
+
+        from vaura_tpu.utils import cached_jit
+
+        def _prep(params, vis_segs):
+            vis_all = vis_segs[:, seg_idx].reshape(B, n_seg * t_seg, D)
+            cond_seq = self.build_cond_seq_for_generation(
+                params, vis_all, S, tokens_per_frame, cfg=use_cfg
+            )
+            gen_codes = jnp.full((B, K, total_tokens), UNKNOWN_TOKEN, jnp.int32)
+            gen_seq, _, _ = pattern.build_pattern_sequence(
+                gen_codes, self.special_token_id
+            )
+            return cond_seq, gen_seq
+
+        cond_seq, gen_seq = cached_jit(
+            self, "_longkv_prep_jit",
+            (vis_feats_segments.shape, S, tokens_per_frame, use_cfg),
+            _prep,
+        )(params, vis_feats_segments)
+
+        gen_seq = self.generate_tokens_streaming(
+            params, cond_seq, gen_seq, rng,
+            S=S, valid_mask=valid_mask,
+            window_chunks=window_chunks, chunk_steps=chunk_steps,
+            sink_chunks=sink_chunks,
+            **sampling,
+        )
+        def _post(gen_seq):
+            out, _, _ = pattern.revert_pattern_sequence(gen_seq, UNKNOWN_TOKEN)
+            return out[..., :total_tokens]
+
+        out_codes = cached_jit(
+            self, "_longkv_post_jit", (gen_seq.shape, total_tokens), _post
+        )(gen_seq)
+        if check:
+            c = np.asarray(out_codes)
+            assert (c >= 0).all() and (c <= self.special_token_id).all()
+        result: Dict[str, jax.Array] = {"codes": out_codes}
+        if decode_to_audio:
+            dac_fn = cached_jit(
+                self, "_long_dac_jit", (out_codes.shape, dac_chunk_size),
+                lambda p, c, _cs=dac_chunk_size: self.decode_audio(
+                    p, c, chunk_size=_cs
+                ),
+            )
+            result["audio"] = dac_fn(params, out_codes)
+        return result
 
     def generate_long_stream(
         self,

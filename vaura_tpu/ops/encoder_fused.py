@@ -69,6 +69,13 @@ def _pick_pack(G: int, L: int, max_rows: int = _MAX_ROWS) -> int:
     """Pack size P (groups per grid cell): the largest divisor of G with
     P*L <= max_rows, preferring sublane-friendly row counts (div 16, then
     div 8); falls back to P=G (full-array block, always Mosaic-legal)."""
+    if L > max_rows:
+        raise ValueError(
+            f"fused encoder sublayer: group length L={L} exceeds the "
+            f"kernel's max pack rows ({max_rows}); no legal pack exists "
+            "— use the einsum path (MotionFormerConfig."
+            "fused_encoder_block=False) for this geometry"
+        )
     full = G * L
     for align in (16, 8):
         best = 0
