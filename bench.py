@@ -151,6 +151,10 @@ def main() -> None:
     ap.add_argument("--mu-dtype", type=str, default=None,
                     help="train mode: AdamW first-moment dtype (e.g. "
                          "bfloat16) — halves optimizer-state memory")
+    ap.add_argument("--nu-dtype", type=str, default=None,
+                    help="train mode: AdamW SECOND-moment dtype "
+                         "(experimental; bf16 frees another ~1.4 GB at "
+                         "flagship scale for batch-envelope probing)")
     ap.add_argument("--compilation-cache-dir", type=str, default=None,
                     help="persistent XLA compile cache (skips recompiles "
                     "across bench invocations; off by default so cold "
@@ -565,7 +569,8 @@ def bench_train(args) -> None:
     )(rng)
     frozen = {"dac": dac}
     state = TrainState.create(
-        {"sampler": sam}, make_optimizer(1e-4, mu_dtype=args.mu_dtype)
+        {"sampler": sam},
+        make_optimizer(1e-4, mu_dtype=args.mu_dtype, nu_dtype=args.nu_dtype)
     )
 
     def train_step(state, audio, codes, vis, rng):

@@ -272,6 +272,7 @@ def restore_trainable_params(
             trainer_cfg.get("accumulate_grad_batches", 1) or 1
         ),
         mu_dtype=model_cfg.get("adam_mu_dtype"),
+        nu_dtype=model_cfg.get("adam_nu_dtype"),
     )
     opt_abstract = jax.eval_shape(tx.init, abstract)
     payload = ckptr.restore(

@@ -140,6 +140,7 @@ class Trainer:
             gradient_clip_algorithm=cfg.get("gradient_clip_algorithm", "value"),
             accumulate_grad_batches=int(cfg.get("accumulate_grad_batches", 1) or 1),
             mu_dtype=self.model_cfg.get("adam_mu_dtype"),
+            nu_dtype=self.model_cfg.get("adam_nu_dtype"),
         )
         state = TrainState.create(trainable, tx)
         start_epoch = 0

@@ -50,6 +50,60 @@ def trainable_mask(params) -> Any:
     return unflatten_dict({k: v != "frozen" for k, v in labels.items()})
 
 
+def _scale_by_adam_dtypes(
+    b1: float, b2: float, eps: float, mu_dtype, nu_dtype
+) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with BOTH moment dtypes configurable
+    (optax only exposes ``mu_dtype``). The second moment is a smoothed
+    average of g^2 — bf16 keeps f32's exponent range and drops 16
+    mantissa bits, perturbing the adaptive scale ``sqrt(nu)+eps`` by
+    ~0.2-0.4% — an *experimental* memory lever (flagship nu is ~2.8 GB
+    f32), gated behind ``model.adam_nu_dtype`` and never a default.
+    Moment math runs in the update dtype; storage casts on commit."""
+    mu_dt = jnp.dtype(mu_dtype) if mu_dtype else None
+    nu_dt = jnp.dtype(nu_dtype) if nu_dtype else None
+
+    def init(params):
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dt or p.dtype), params
+        )
+        nu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dt or p.dtype), params
+        )
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu
+        )
+
+    def update(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda g, m: b1 * m.astype(g.dtype) + (1.0 - b1) * g,
+            updates, state.mu,
+        )
+        nu = jax.tree_util.tree_map(
+            lambda g, v: b2 * v.astype(g.dtype) + (1.0 - b2) * (g * g),
+            updates, state.nu,
+        )
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu
+        )
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree_util.tree_map(
+                lambda m: m.astype(mu_dt) if mu_dt else m, mu
+            ),
+            nu=jax.tree_util.tree_map(
+                lambda v: v.astype(nu_dt) if nu_dt else v, nu
+            ),
+        )
+        return out, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     learning_rate: float | Callable,
     weight_decay: float = 0.0,
@@ -58,13 +112,16 @@ def make_optimizer(
     gradient_clip_algorithm: str = "value",
     accumulate_grad_batches: int = 1,
     mu_dtype: Optional[str] = None,
+    nu_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """AdamW with per-rank decay masking + value/norm clipping; frozen
     buffer leaves get zero updates. ``accumulate_grad_batches`` wraps the
     whole transform in ``optax.MultiSteps`` (reference
     ``trainer.accumulate_grad_batches``). ``mu_dtype`` (e.g.
     ``"bfloat16"``) halves the first-moment memory — the flagship's
-    AdamW state is ~11 GB f32, the usual OOM driver on one chip."""
+    AdamW state is ~11 GB f32, the usual OOM driver on one chip.
+    ``nu_dtype`` additionally halves the second moment (experimental —
+    see ``_scale_by_adam_dtypes``)."""
     chain = []
     if gradient_clip_val is not None and gradient_clip_val > 0:
         if gradient_clip_algorithm == "value":
@@ -75,6 +132,14 @@ def make_optimizer(
             raise ValueError(gradient_clip_algorithm)
 
     def adamw(wd: float) -> optax.GradientTransformation:
+        if nu_dtype is not None:
+            parts = [_scale_by_adam_dtypes(
+                betas[0], betas[1], 1e-8, mu_dtype, nu_dtype
+            )]
+            if wd:
+                parts.append(optax.add_decayed_weights(wd))
+            parts.append(optax.scale_by_learning_rate(learning_rate))
+            return optax.chain(*parts)
         return optax.adamw(
             learning_rate=learning_rate, b1=betas[0], b2=betas[1], weight_decay=wd,
             mu_dtype=mu_dtype,
