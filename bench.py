@@ -45,20 +45,22 @@ def main() -> None:
     ap.add_argument("--top-k", type=int, default=128)
     ap.add_argument("--no-dac", action="store_true", help="skip waveform decode")
     ap.add_argument(
-        "--int8", dest="int8", action="store_true", default=True,
-        help="int8 weight-only decoder + int8 KV cache (default; measured "
-             "flagship logit deviation: mean 4e-2 of logit std, p99 1.4e-1 "
-             "- validate quality on real weights; see PERFORMANCE.md)",
+        "--int8", dest="quant_mode", action="store_const", const="int8",
+        default=None,
+        help="int8 weight + int8 KV-cache decoder (the r3/r4 headline "
+             "mode; measured flagship logit deviation: mean 4e-2 of "
+             "logit std — quality table in PERFORMANCE.md r5)",
     )
-    ap.add_argument("--no-int8", dest="int8", action="store_false")
+    ap.add_argument("--no-int8", dest="quant_mode", action="store_const",
+                    const="none", help="fully bf16 (exact)")
     ap.add_argument(
-        "--int8-cache-only", action="store_true",
-        help="bf16 weights + int8 KV cache (implies --no-int8): the "
-             "quality-safe serving candidate for large batches — the "
-             "CACHE (17 GB bf16 at B=128), not the weights, is what "
-             "makes full-bf16 B=128 impossible on 16 GB HBM, and "
-             "cache-only quantization perturbs the logits far less "
-             "than weight+cache int8",
+        "--int8-cache-only", dest="quant_mode", action="store_const",
+        const="cache",
+        help="bf16 weights + int8 KV cache — the DEFAULT in generate "
+             "mode (94.7 au-s/s at B=128, faster than full int8 since "
+             "the loop is cache-bandwidth-bound, weight math exact; "
+             "int8_cache FAD sits at the bf16 seed-split noise floor — "
+             "PERFORMANCE.md r5 quant-quality table)",
     )
     ap.add_argument(
         "--cache-bits", type=int, choices=[8, 4], default=8,
@@ -160,6 +162,13 @@ def main() -> None:
                     "across bench invocations; off by default so cold "
                     "numbers stay honest)")
     args = ap.parse_args()
+    # quantization-mode resolution: generate mode defaults to the
+    # quality-safe cache-only headline (PERFORMANCE.md r5); long/other
+    # modes keep the historical int8 w+kv comparator unless overridden
+    if args.quant_mode is None:
+        args.quant_mode = "cache" if args.mode == "generate" else "int8"
+    args.int8 = args.quant_mode == "int8"
+    args.int8_cache_only = args.quant_mode == "cache"
     if args.batch is None:
         args.batch = 32 if args.with_encoder else 128
     if args.compilation_cache_dir:
@@ -350,6 +359,8 @@ def main() -> None:
                 "value": round(value, 3),
                 "unit": "audio_sec/sec/chip",
                 "vs_baseline": round(value / 5.0, 3),
+                "quant_mode": args.quant_mode,
+                "batch": B,
             }
         )
     )
@@ -423,6 +434,11 @@ def bench_long(args) -> None:
 
     B = args.batch
     sampler_cfg = SamplerConfig()
+    if args.int8_cache_only:
+        sampler_cfg = dataclasses.replace(
+            sampler_cfg, quantize_weights=False, quantize_cache=True,
+            cache_bits=args.cache_bits, int8_dots=args.int8_dots,
+        )
     if args.long_kv:
         # rolling-KV streaming needs the RoPE freqs table to cover the
         # whole horizon (RoPE is relative, so positions past the trained
