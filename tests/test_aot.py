@@ -44,6 +44,7 @@ def tiny_system():
     return sys_, params
 
 
+@pytest.mark.slow
 def test_export_load_parity(tiny_system, tmp_path):
     import jax
 

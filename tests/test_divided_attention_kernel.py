@@ -98,6 +98,7 @@ def test_module_parity_divided_attention():
         )
 
 
+@pytest.mark.slow
 def test_full_encoder_parity_fused():
     """Small MotionFormer forward: fused kernel vs einsum path."""
     from vaura_tpu.models.motionformer import MotionFormer, MotionFormerConfig

@@ -41,6 +41,7 @@ def _args(seed, Bp, G, L, D, dtype=jnp.float32, with_bias=True):
         (3, 5, 1),     # hd=128 (one head per slab)
     ],
 )
+@pytest.mark.slow
 def test_sublayer_parity(G, L, H):
     kw = _args(0, 2, G, L, 128)
     got_t, got_c = fused_attention_sublayer(
@@ -55,6 +56,7 @@ def test_sublayer_parity(G, L, H):
     )
 
 
+@pytest.mark.slow
 def test_sublayer_parity_no_bias_bf16():
     kw = _args(1, 2, 6, 4, 128, jnp.bfloat16, with_bias=False)
     got_t, got_c = fused_attention_sublayer(

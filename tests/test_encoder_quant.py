@@ -9,6 +9,7 @@ weights (no learned margins), so the tolerance here is an upper bound."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vaura_tpu.models.motionformer import MotionFormer, MotionFormerConfig
 from vaura_tpu.ops.quantization import (
@@ -41,6 +42,7 @@ def _params_and_frames():
     return model, params, frames
 
 
+@pytest.mark.slow
 def test_quantize_encoder_params_tree():
     """Every divided-block kernel becomes kernel_q int8 + scale f32 with
     the stacked depth axis preserved; all other leaves are untouched."""
@@ -70,6 +72,7 @@ def test_quantize_encoder_params_tree():
             np.testing.assert_array_equal(np.asarray(v), np.asarray(qflat[path]))
 
 
+@pytest.mark.slow
 def test_quantized_forward_close_to_float():
     """int8 weights + dynamic int8 activations stay close to the float
     forward at random (worst-case) weights."""

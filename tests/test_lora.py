@@ -43,6 +43,7 @@ def lora_system():
     return sys_, params
 
 
+@pytest.mark.slow
 def test_init_and_merge_identity(lora_system):
     """b-zero init => merged weights equal the base weights at step 0."""
     sys_, params = lora_system
@@ -140,6 +141,7 @@ def test_gradients_flow_only_to_adapters(lora_system):
     assert moved
 
 
+@pytest.mark.slow
 def test_generate_with_adapters(lora_system):
     """Nonzero adapters change generation; zero adapters reproduce the
     base model exactly (greedy)."""

@@ -162,6 +162,7 @@ class TMotionFormer(nn.Module):
         return sd
 
 
+@pytest.mark.slow
 def test_motionformer_parity_with_torch():
     torch.manual_seed(0)
     tmodel = TMotionFormer(CFG).eval()

@@ -166,6 +166,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_distributed_psum_and_host0_gating(tmp_path):
     coord = f"127.0.0.1:{_free_port()}"
     touch = tmp_path / "host0.txt"

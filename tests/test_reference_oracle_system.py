@@ -138,6 +138,7 @@ def test_masked_loss_parity_vs_reference(ref_transformer):
     )
 
 
+@pytest.mark.slow
 def test_teacher_forced_pipeline_parity_vs_reference(
     ref_transformer, our_system
 ):
@@ -191,7 +192,12 @@ def test_teacher_forced_pipeline_parity_vs_reference(
     )
 
 
-@pytest.mark.parametrize("cfg_scale", [1.0, 6.0])
+@pytest.mark.parametrize(
+    "cfg_scale",
+    # CFG 6 (the release setting) stays in the fast tier as the flagship
+    # parity anchor; the CFG-1 arm is redundant pre-commit coverage.
+    [pytest.param(1.0, marks=pytest.mark.slow), 6.0],
+)
 def test_greedy_generation_parity_vs_reference(
     ref_transformer, our_system, cfg_scale
 ):

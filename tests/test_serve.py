@@ -125,6 +125,7 @@ def test_input_validation(server):
     assert str(service.cond_dim) in e.value.read().decode()
 
 
+@pytest.mark.slow
 def test_quantize_gate(tmp_path):
     """serve quantize=true runs the int8-vs-bf16 agreement probe at
     startup and refuses when below quantize_min_agreement."""
@@ -149,6 +150,7 @@ def test_quantize_gate(tmp_path):
     assert svc.system.sampler_config.quantize_weights
 
 
+@pytest.mark.slow
 def test_quantize_cache_mode(tmp_path):
     """serve quantize=cache: bf16 weights + int8 KV cache (the measured
     large-batch sweet spot — the cache, not the weights, is the HBM

@@ -93,6 +93,7 @@ def _flat_window(sys_, vis_segs, total_tokens, tokens_per_frame=7):
     return vis_segs[:, idx].reshape(B, n_seg * t_seg, d)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("quantize_cache", [False, True])
 def test_streamkv_nodrop_matches_generate(system, quantize_cache):
     sys_, params = system
@@ -124,6 +125,7 @@ def test_streamkv_nodrop_matches_generate(system, quantize_cache):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sink_chunks", [0, 1])
 def test_streamkv_windowed_matches_masked_oracle(system, sink_chunks):
     """Greedy rolling-window rollout == teacher-forced forward under the

@@ -146,6 +146,7 @@ def test_generate_valid_sequence(system):
     assert audio.shape == (1, 1, 12 * DAC_TINY.hop_length)
 
 
+@pytest.mark.slow
 def test_generate_preserves_prompt(system):
     sys, params = system
     frames = _batch(B=1)["frames"]
@@ -278,6 +279,7 @@ def test_prefill_prompt_path_matches_scan(system):
     np.testing.assert_array_equal(np.asarray(out_fast["codes"]), codes_ref)
 
 
+@pytest.mark.slow
 def test_decode_buckets_match_unbucketed(system):
     """Segmented decode (each scan segment carries a physically
     bucket-sized KV cache, grown between segments) must reproduce the
@@ -327,6 +329,7 @@ def test_decode_buckets_match_unbucketed_int4_dots(system):
     )
 
 
+@pytest.mark.slow
 def test_decode_buckets_with_prompt_prefill(system):
     """Buckets + a long audio prompt: the prefill-produced full-length
     cache is sliced down to the first executed segment's buffer and the
