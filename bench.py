@@ -64,14 +64,18 @@ def main() -> None:
     )
     ap.add_argument(
         "--cache-bits", type=int, choices=[8, 4], default=8,
-        help="KV-cache width under --int8: 4 = nibble-packed int4 "
-             "(halves the cache stream again; quality caveat in "
-             "PERFORMANCE.md applies doubly)",
+        help="KV-cache width under --int8: 4 = nibble-packed int4. "
+             "MEASURED DEAD END on v5e (44.3 vs 93.5 au-s/s at B=128 — "
+             "nibble unpack beats the read saving; also not serving-safe "
+             "quality-wise, PERFORMANCE.md r5)",
     )
     ap.add_argument(
         "--int8-dots", action="store_true",
         help="int8 x int8 attention dots in the decode loop (dynamic q/prob "
-             "quantization; MXU reads the int8 cache without bf16 widening)",
+             "quantization; MXU reads the int8 cache without bf16 widening). "
+             "MEASURED DEAD END on v5e (39.9 vs 93.5 au-s/s at B=128 — the "
+             "per-step dynamic quantization costs more than the widening, "
+             "PERFORMANCE.md r5)",
     )
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument(
