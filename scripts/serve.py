@@ -20,7 +20,10 @@ Endpoints::
                              or .npy bytes [S, t, cond_dim]
                              -> live WAV stream (chunks written as they
                                 decode; stream_duration/stream_stride
-                                server config sets the geometry)
+                                server config sets the geometry;
+                                stream_mode=kv switches to the rolling-KV
+                                continuous decode — zero re-prefill,
+                                ~1.6x the long-horizon throughput)
     POST /reload             body: {"ckpt_path": "..."} (optional; defaults
                              to the startup checkpoint) -> hot-swap the
                              serving weights without recompiling: same
@@ -161,6 +164,15 @@ class GenerationService:
         )
         self.stream_segments = max(1, int(stream_secs * 25.0) // 16)
         self.stream_t = int(cfg.get("stream_features_per_segment", 8))
+        # /generate_long decode mode: "reprefill" (reference striding
+        # semantics via generate_long_stream) or "kv" (rolling-KV
+        # continuous decode via generate_long_kv_stream — zero chunk
+        # re-prefill, ~1.6x long-horizon throughput; PERFORMANCE.md r5)
+        self.stream_mode = str(cfg.get("stream_mode", "reprefill")).lower()
+        if self.stream_mode not in ("reprefill", "kv"):
+            raise ValueError(f"unknown stream_mode: {self.stream_mode!r}")
+        self.stream_window_chunks = int(cfg.get("stream_window_chunks", 4))
+        self.stream_chunk_steps = int(cfg.get("stream_chunk_steps", 56))
         self.sampling = dict(
             use_sampling=bool(cfg.get("use_sampling", True)),
             temp=float(cfg.get("temperature", 1.0)),
@@ -181,6 +193,19 @@ class GenerationService:
                 ckpt_path = str(best) if best else None
 
         self.system = build_system(model_cfg)
+        if self.stream_mode == "kv":
+            # the rolling-KV decode runs ONE continuous scan over the full
+            # stream horizon, so the RoPE freqs table must cover it
+            # (pattern delay + headroom; mirrors scripts/generate.py's
+            # stream_kv block_size handling)
+            import dataclasses as _dc_bs
+
+            need = self.stream_tokens + 64
+            if self.system.sampler_config.block_size < need:
+                self.system.sampler_config = _dc_bs.replace(
+                    self.system.sampler_config, block_size_audio=need
+                )
+                self.system.__post_init__()
         rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
         params = self.system.init_params(rng)
         params = maybe_load_pretrained(params, model_cfg)
@@ -759,14 +784,25 @@ class GenerationService:
             if self._batch_sharding is not None:
                 # B=1 streams can't split on the data axis: replicate
                 feats = jax.device_put(feats, self._replicated)
-            for chunk in self.system.generate_long_stream(
-                self.params, None, jax.random.PRNGKey(seed),
-                total_tokens=self.stream_tokens,
-                stride_tokens=self.stream_stride_tokens,
-                model_max_tokens=self.stream_max_tokens,
-                vis_feats_segments=feats,
-                **self.sampling,
-            ):
+            if self.stream_mode == "kv":
+                gen = self.system.generate_long_kv_stream(
+                    self.params, None, jax.random.PRNGKey(seed),
+                    total_tokens=self.stream_tokens,
+                    vis_feats_segments=feats,
+                    window_chunks=self.stream_window_chunks,
+                    chunk_steps=self.stream_chunk_steps,
+                    **self.sampling,
+                )
+            else:
+                gen = self.system.generate_long_stream(
+                    self.params, None, jax.random.PRNGKey(seed),
+                    total_tokens=self.stream_tokens,
+                    stride_tokens=self.stream_stride_tokens,
+                    model_max_tokens=self.stream_max_tokens,
+                    vis_feats_segments=feats,
+                    **self.sampling,
+                )
+            for chunk in gen:
                 audio = np.asarray(chunk["audio"], np.float32)[0]
                 if audio.size:
                     slot["writer"](audio)

@@ -686,3 +686,46 @@ def test_batch_buckets_validation():
     cfg.update(batch_buckets="1", aot_load="x.jaxexport")
     with pytest.raises(ValueError, match="mutually"):
         GenerationService(cfg)
+
+
+@pytest.mark.slow
+def test_stream_mode_kv_service(tmp_path):
+    """``stream_mode=kv`` serves /generate_long through the rolling-KV
+    continuous decode (``generate_long_kv_stream``): the service raises
+    the sampler's RoPE table to cover the stream horizon, and the
+    streamed increments assemble to exactly the geometry's sample
+    count."""
+    from scripts.serve import GenerationService
+    from vaura_tpu.config import assemble_config
+
+    cfg = dict(
+        assemble_config(
+            [f"config={REPO / 'configs/experiments/dummy.yaml'}"],
+            defaults_path=REPO / "configs" / "vaura_defaults.yaml",
+            base_dir=REPO,
+        )
+    )
+    cfg.update(
+        batch=2, batch_buckets="1", duration=0.15, top_k=8, max_wait_ms=50,
+        stream_duration=0.6, stream_tokens=60,
+        stream_mode="kv", stream_chunk_steps=16, stream_window_chunks=2,
+    )
+    svc = GenerationService(cfg)
+    try:
+        assert svc.stream_mode == "kv"
+        # horizon 60 + 64 headroom > the dummy block: table must be raised
+        assert svc.system.sampler_config.block_size >= 60 + 64
+        svc.start()
+        feats = np.random.default_rng(3).standard_normal(
+            (svc.stream_segments, svc.stream_t, svc.cond_dim)
+        ).astype(np.float32)
+        got = []
+        svc.submit_stream(feats, got.append)
+        assert len(got) >= 2  # streamed in pieces, not one flush
+        hop = svc.system.dac_config.hop_length
+        assert sum(a.shape[-1] for a in got) == svc.stream_tokens * hop
+    finally:
+        svc.close(timeout=10)
+
+    with pytest.raises(ValueError, match="stream_mode"):
+        GenerationService({**cfg, "stream_mode": "bogus"})

@@ -179,3 +179,47 @@ def test_streamkv_block_size_guard(system):
             vis_feats_segments=_vis_segments(),
             decode_to_audio=False,
         )
+
+
+@pytest.mark.slow
+def test_streamkv_stream_matches_oneshot(system):
+    """``generate_long_kv_stream``: streamed codes and waveform increments
+    concatenate EXACTLY to ``generate_long_kv``'s one-shot output (same
+    rng, same finite window), and each increment's ``token_start`` lines
+    up with the samples emitted so far."""
+    sys_, _ = system
+    # full params (the module fixture inits only the sampler; this test
+    # decodes waveforms, so it needs the DAC subtree too)
+    params = sys_.init_params(jax.random.PRNGKey(0))
+    params = sys_.load_dac_embeddings_into_sampler(params)
+    vis_segs = _vis_segments()
+    total = 60
+    kw = dict(
+        use_sampling=True, temp=1.0, top_k=8, cfg_scale=3.0,
+        window_chunks=2, chunk_steps=16,  # finite window: chunks DO drop
+    )
+    one = sys_.generate_long_kv(
+        params, None, jax.random.PRNGKey(11),
+        total_tokens=total, tokens_per_frame=7,
+        vis_feats_segments=vis_segs, decode_to_audio=True, **kw,
+    )
+    chunks = list(sys_.generate_long_kv_stream(
+        params, None, jax.random.PRNGKey(11),
+        total_tokens=total, tokens_per_frame=7,
+        vis_feats_segments=vis_segs, **kw,
+    ))
+    assert len(chunks) >= 2  # actually streamed in pieces
+    codes = np.concatenate([np.asarray(c["codes"]) for c in chunks], -1)
+    np.testing.assert_array_equal(codes, np.asarray(one["codes"]))
+    audio = np.concatenate([np.asarray(c["audio"]) for c in chunks], -1)
+    want = np.asarray(one["audio"]).reshape(audio.shape[0], -1)
+    assert audio.shape == want.shape
+    # 5e-5: float reassociation across decode-window shapes; a missing
+    # margin errs >1e-3 (test_stream.py's sanity check), so this still
+    # discriminates
+    np.testing.assert_allclose(audio, want, atol=5e-5, rtol=0)
+    hop = sys_.dac_config.hop_length
+    pos = 0
+    for c in chunks:
+        assert c["token_start"] * hop == pos
+        pos += np.asarray(c["audio"]).shape[-1]

@@ -604,6 +604,45 @@ class VauraSystem:
         drops and the result is token-identical to ``generate`` —
         locked by ``tests/test_stream_kv.py``.
         """
+        out = gen_seq_init
+        for _, out in self._stream_kv_segments(
+            params, cond_seq, gen_seq_init, rng,
+            S=S, valid_mask=valid_mask,
+            window_chunks=window_chunks, chunk_steps=chunk_steps,
+            sink_chunks=sink_chunks, cache_dtype=cache_dtype,
+            use_sampling=use_sampling, temp=temp, top_k=top_k, top_p=top_p,
+            cfg_scale=cfg_scale,
+        ):
+            pass
+        return out
+
+    def _stream_kv_segments(
+        self,
+        params: Dict[str, Any],
+        cond_seq: jax.Array,
+        gen_seq_init: jax.Array,
+        rng: jax.Array,
+        *,
+        S: int,
+        valid_mask: np.ndarray,
+        window_chunks: int = 4,
+        chunk_steps: int = 56,
+        sink_chunks: int = 0,
+        cache_dtype=None,
+        use_sampling: bool = True,
+        temp: float = 1.0,
+        top_k: int = 256,
+        top_p: float = 0.0,
+        cfg_scale: float = 1.0,
+    ):
+        """Generator behind ``generate_tokens_streaming``: yields
+        ``(hi, gen_seq)`` after each rolling segment — sequence positions
+        ``[0, hi)`` of the yielded ``gen_seq`` are final at yield time
+        (steps ``[1, hi)`` have run; position 0 is the BOS row).
+
+        The yielded buffer is DONATED into the next segment's jit call:
+        consume it (e.g. revert + decode) before resuming the generator.
+        """
         cache_batch = cond_seq.shape[0]
         cdtype = cache_dtype or self.sampler_config.dtype
         C = int(chunk_steps)
@@ -669,7 +708,7 @@ class VauraSystem:
             )
             kept = [(i, c) for (i, _), c in zip(kept, chunk_tuple)]
             lo = hi
-        return gen_seq
+            yield hi, gen_seq
 
     def build_cond_seq_for_generation(
         self,
@@ -1055,6 +1094,60 @@ class VauraSystem:
             yield new
             prompt = gen_tokens[:, :, stride_tokens:]
 
+    def _longkv_setup(
+        self,
+        params: Dict[str, Any],
+        frames: Optional[jax.Array],
+        vis_feats_segments: Optional[jax.Array],
+        *,
+        total_tokens: int,
+        tokens_per_frame: int,
+        encoder_chunk_size: Optional[int],
+        cfg_scale: float,
+    ):
+        """Shared prep for the rolling-KV long paths (``generate_long_kv``
+        / ``generate_long_kv_stream``): resolve params, run the visual
+        encoder once over all segments, lay the conditioning out over the
+        whole horizon (segments wrap modulo the video length), and build
+        the pattern-interleaved UNKNOWN sequence to fill."""
+        params = self._resolve_params(params)
+        K = self.num_codebooks
+        pattern, valid_mask, S = self.prepare_generation(total_tokens)
+        if self.sampler_config.block_size < S:
+            raise ValueError(
+                f"generate_long_kv: horizon needs {S} RoPE positions but "
+                f"sampler block_size is {self.sampler_config.block_size} "
+                "— raise SamplerConfig.block_size_audio"
+            )
+        vis_feats_segments = self._long_encode_segments(
+            params, frames, vis_feats_segments, chunk_size=encoder_chunk_size
+        )
+        B, S_total, t_seg, D = vis_feats_segments.shape
+        n_feat = -(-S // tokens_per_frame)
+        n_seg = -(-n_feat // t_seg)
+        seg_idx = np.arange(n_seg) % S_total  # video wraps when audio outlasts it
+        use_cfg = cfg_scale > 1.0
+
+        from vaura_tpu.utils import cached_jit
+
+        def _prep(params, vis_segs):
+            vis_all = vis_segs[:, seg_idx].reshape(B, n_seg * t_seg, D)
+            cond_seq = self.build_cond_seq_for_generation(
+                params, vis_all, S, tokens_per_frame, cfg=use_cfg
+            )
+            gen_codes = jnp.full((B, K, total_tokens), UNKNOWN_TOKEN, jnp.int32)
+            gen_seq, _, _ = pattern.build_pattern_sequence(
+                gen_codes, self.special_token_id
+            )
+            return cond_seq, gen_seq
+
+        cond_seq, gen_seq = cached_jit(
+            self, "_longkv_prep_jit",
+            (vis_feats_segments.shape, S, tokens_per_frame, use_cfg),
+            _prep,
+        )(params, vis_feats_segments)
+        return params, pattern, valid_mask, S, cond_seq, gen_seq
+
     def generate_long_kv(
         self,
         params: Dict[str, Any],
@@ -1100,43 +1193,16 @@ class VauraSystem:
         the chunk window) — semantics locked by ``tests/test_stream_kv.py``
         against a windowed-mask teacher-forced oracle.
         """
-        params = self._resolve_params(params)
-        K = self.num_codebooks
-        pattern, valid_mask, S = self.prepare_generation(total_tokens)
-        if self.sampler_config.block_size < S:
-            raise ValueError(
-                f"generate_long_kv: horizon needs {S} RoPE positions but "
-                f"sampler block_size is {self.sampler_config.block_size} "
-                "— raise SamplerConfig.block_size_audio"
+        params, pattern, valid_mask, S, cond_seq, gen_seq = (
+            self._longkv_setup(
+                params, frames, vis_feats_segments,
+                total_tokens=total_tokens,
+                tokens_per_frame=tokens_per_frame,
+                encoder_chunk_size=encoder_chunk_size,
+                cfg_scale=float(sampling.get("cfg_scale", 1.0)),
             )
-        vis_feats_segments = self._long_encode_segments(
-            params, frames, vis_feats_segments, chunk_size=encoder_chunk_size
         )
-        B, S_total, t_seg, D = vis_feats_segments.shape
-        n_feat = -(-S // tokens_per_frame)
-        n_seg = -(-n_feat // t_seg)
-        seg_idx = np.arange(n_seg) % S_total  # video wraps when audio outlasts it
-        cfg_scale = float(sampling.get("cfg_scale", 1.0))
-        use_cfg = cfg_scale > 1.0
-
         from vaura_tpu.utils import cached_jit
-
-        def _prep(params, vis_segs):
-            vis_all = vis_segs[:, seg_idx].reshape(B, n_seg * t_seg, D)
-            cond_seq = self.build_cond_seq_for_generation(
-                params, vis_all, S, tokens_per_frame, cfg=use_cfg
-            )
-            gen_codes = jnp.full((B, K, total_tokens), UNKNOWN_TOKEN, jnp.int32)
-            gen_seq, _, _ = pattern.build_pattern_sequence(
-                gen_codes, self.special_token_id
-            )
-            return cond_seq, gen_seq
-
-        cond_seq, gen_seq = cached_jit(
-            self, "_longkv_prep_jit",
-            (vis_feats_segments.shape, S, tokens_per_frame, use_cfg),
-            _prep,
-        )(params, vis_feats_segments)
 
         gen_seq = self.generate_tokens_streaming(
             params, cond_seq, gen_seq, rng,
@@ -1165,6 +1231,122 @@ class VauraSystem:
             )
             result["audio"] = dac_fn(params, out_codes)
         return result
+
+    def generate_long_kv_stream(
+        self,
+        params: Dict[str, Any],
+        frames: Optional[jax.Array],  # [B, S_total, C, T, H, W]
+        rng: jax.Array,
+        *,
+        total_tokens: int,
+        vfps: float = 25.0,
+        frames_per_segment: int = 16,
+        tokens_per_frame: int = 7,
+        vis_feats_segments: Optional[jax.Array] = None,  # [B, S_total, t, D]
+        window_chunks: int = 4,
+        chunk_steps: int = 56,
+        sink_chunks: int = 0,
+        emit_margin_tokens: Optional[int] = None,
+        encoder_chunk_size: Optional[int] = None,
+        **sampling,
+    ):
+        """Streaming ``generate_long_kv``: a generator yielding one dict
+        per rolling-cache segment as soon as that segment's tokens are
+        final —
+
+            {"codes":       [B, K, n_new]   newly final codec tokens,
+             "audio":       [B, n_emit*hop] the next waveform increment,
+             "token_start": int             token index of audio[..., 0]}
+
+        i.e. ``generate_long_stream``'s first-sound-latency contract at
+        ``generate_long_kv``'s zero-re-prefill throughput (55.6 vs 35.4
+        au-s/s at B=128 — PERFORMANCE.md r5). Token stream is identical
+        to ``generate_long_kv`` with the same rng/window; audio
+        increments concatenate EXACTLY to its one-shot waveform (windowed
+        DAC decode with ``emit_margin_tokens`` >= the decoder's analytic
+        receptive field on each side — same mechanism and default as
+        ``generate_long_stream``). No reference counterpart
+        (``scripts/generate.py:327-370`` is offline re-prefill only).
+
+        A timestep is "final" once every one of its pattern coordinates
+        (the K delayed codebook slots) lies at a sequence position the
+        decode has passed, so emission trails the decode head by the
+        pattern's max delay plus the DAC margin.
+        """
+        params, pattern, valid_mask, S, cond_seq, gen_seq = (
+            self._longkv_setup(
+                params, frames, vis_feats_segments,
+                total_tokens=total_tokens,
+                tokens_per_frame=tokens_per_frame,
+                encoder_chunk_size=encoder_chunk_size,
+                cfg_scale=float(sampling.get("cfg_scale", 1.0)),
+            )
+        )
+        from vaura_tpu.utils import cached_jit
+
+        if emit_margin_tokens is None:
+            emit_margin_tokens = self.dac_config.decoder_receptive_field_frames
+        hop = self.dac_config.hop_length
+        # host table: timestep t is final iff all its layout coords sit at
+        # sequence positions < hi (positions [0, hi) are written after the
+        # segment ending at step hi); prefix-safe via the running max
+        last_step = np.zeros(total_tokens, dtype=np.int64)
+        for s, coords in enumerate(pattern.layout):
+            for t, _q in coords:
+                if t < total_tokens:
+                    last_step[t] = max(last_step[t], s)
+        known_bar = np.maximum.accumulate(last_step) + 1
+
+        def _revert(seq):
+            out, _, _ = pattern.revert_pattern_sequence(seq, UNKNOWN_TOKEN)
+            return out[..., :total_tokens]
+
+        revert_fn = cached_jit(
+            self, "_longkv_stream_revert_jit",
+            (gen_seq.shape, total_tokens), _revert,
+        )
+        emitted = 0
+        n_prev = 0
+        for hi, seq in self._stream_kv_segments(
+            params, cond_seq, gen_seq, rng,
+            S=S, valid_mask=valid_mask,
+            window_chunks=window_chunks, chunk_steps=chunk_steps,
+            sink_chunks=sink_chunks,
+            **sampling,
+        ):
+            final = hi >= S
+            codes = revert_fn(seq)  # [B, K, total_tokens]; > n_known is garbage
+            n_known = (
+                total_tokens if final
+                else min(int(np.searchsorted(known_bar, hi, side="right")),
+                         total_tokens)
+            )
+            if n_known <= n_prev and not final:
+                continue  # segment finalized nothing (ramp under max delay)
+            emit_to = (
+                n_known if final
+                else max(emitted, n_known - emit_margin_tokens)
+            )
+            if emit_to > emitted:
+                win_lo = max(0, emitted - emit_margin_tokens)
+                window = codes[..., win_lo:n_known]
+                dec_fn = cached_jit(
+                    self, "_stream_dac_jit", window.shape,
+                    lambda p, c: self.decode_audio(p, c),
+                )
+                wav = dec_fn(params, window)  # [B, 1, T*hop]
+                audio = wav[
+                    ..., (emitted - win_lo) * hop : (emit_to - win_lo) * hop
+                ].reshape(wav.shape[0], -1)
+            else:  # margin still swallows everything known: no decode
+                audio = jnp.zeros((codes.shape[0], 0), jnp.float32)
+            yield {
+                "codes": codes[..., n_prev:n_known],
+                "audio": audio,
+                "token_start": emitted,
+            }
+            emitted = emit_to
+            n_prev = n_known
 
     def generate_long_stream(
         self,
