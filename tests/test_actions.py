@@ -177,3 +177,39 @@ def test_train_resume_from_checkpoint(dummy_cfg):
     step2 = json.loads((last2 / "meta.json").read_text())["step"]
     assert step2 > step1  # optimizer step counter continued, not reset
     assert np.isfinite(second["metrics"]["test_loss"])
+
+
+@pytest.mark.parametrize("long_mode", ["reprefill", "stream_kv"])
+def test_generate_action_long_modes(dummy_cfg, tmp_path, long_mode):
+    """duration > model_max_duration takes the long-horizon path in both
+    modes: the reference's striding (`generate_long`, reference
+    scripts/generate.py:327-370) and the rolling-KV continuous decode
+    (`long_mode: stream_kv` -> `generate_long_kv`, no reference
+    counterpart)."""
+    from scripts.generate import generate
+
+    cfg = dict(dummy_cfg)
+    cfg["action"] = "generate"
+    cfg["duration"] = 1.28  # 2 chunks of 0.64 at stride 0.64
+    cfg["model_max_duration"] = 0.64
+    cfg["stride"] = 0.64
+    cfg["long_mode"] = long_mode
+    cfg["top_k"] = 8
+    cfg["output_dir"] = str(tmp_path / f"gen_long_{long_mode}")
+    cfg["dataloader"] = dict(cfg["dataloader"])
+    cfg["dataloader"]["batch_size"] = 1
+    cfg["dataset_to_use"] = "test"
+    cfg["max_batches"] = 1
+    result = generate(cfg)
+    assert result["num_generated"] >= 1
+    wavs = list((tmp_path / f"gen_long_{long_mode}").glob("*.wav"))
+    assert wavs, "no wav written"
+    from vaura_tpu.ops.audio import read_wav
+
+    wav, sr = read_wav(wavs[0])
+    assert sr == 44100
+    # the full 110-token horizon was decoded (dummy codec hop = product
+    # of its encoder_rates = 8 samples/token)
+    total_tokens = int(1.28 * 86)
+    hop = 8
+    assert wav.shape[-1] == total_tokens * hop
