@@ -143,6 +143,15 @@ class GenerationService:
         # and block the first real request on a cold remote compile.
         self.tv = max(1, int(self.duration * 25.0) // 16) * 8
         self.max_wait_s = float(cfg.get("max_wait_ms", 20)) / 1e3
+        # decode-graph knobs, bench.py's measured defaults: the chunked
+        # DAC waveform decode keeps the throughput tier inside HBM (the
+        # unchunked transposed-conv activations OOM the 16 GB chip at
+        # B=128), bucketed decode is the r3/r4 KV-cache formulation
+        self.decode_buckets = int(cfg.get("decode_buckets", 8))
+        self.dac_chunk_size = int(
+            cfg.get("dac_chunk_size")
+            or max(1, int(8 * 2.56 / self.duration * 4))
+        )
         # long-horizon streaming (/generate_long): fixed stream geometry so
         # the chunk graphs compile once (first request; steady-state chunks
         # share shapes -> two decode graphs total)
@@ -543,6 +552,8 @@ class GenerationService:
                 batch=self.batch, tv=self.tv,
                 max_new_tokens=self.tokens,
                 sampling=self.sampling,
+                decode_buckets=self.decode_buckets,
+                dac_chunk_size=self.dac_chunk_size,
                 path=self.aot_export,
             )
             logger.info("exported AOT generation graph to %s (%s)",
@@ -572,6 +583,8 @@ class GenerationService:
                 max_new_tokens=self.tokens,
                 tokens_per_frame=7,
                 decode_to_audio=True,
+                dac_chunk_size=self.dac_chunk_size,
+                decode_buckets=self.decode_buckets,
                 **self.sampling,
             )
 

@@ -49,6 +49,8 @@ def export_generate(
     path: str | Path,
     tokens_per_frame: int = 7,
     sampling: Optional[Dict[str, Any]] = None,
+    decode_buckets: int = 8,
+    dac_chunk_size: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Export ``system.generate`` (features -> audio + codes) as a
     serialized StableHLO artifact at ``path``.
@@ -72,6 +74,8 @@ def export_generate(
             max_new_tokens=max_new_tokens,
             tokens_per_frame=tokens_per_frame,
             decode_to_audio=True,
+            decode_buckets=decode_buckets,
+            dac_chunk_size=dac_chunk_size,
             **sampling,
         )
         return out["audio"], out["codes"]
@@ -90,6 +94,8 @@ def export_generate(
         "cond_dim": cond_dim,
         "max_new_tokens": max_new_tokens,
         "tokens_per_frame": tokens_per_frame,
+        "decode_buckets": decode_buckets,
+        "dac_chunk_size": dac_chunk_size,
         "sampling": {k: str(v) for k, v in sampling.items()},
         "platforms": list(exp.platforms),
         "sample_rate": int(system.dac_config.sample_rate),
