@@ -115,8 +115,9 @@ def main() -> None:
                          "sized to its maximum attended length, cutting "
                          "early-step cache reads (AR-only B=128: 70.9 -> "
                          "100.7 au-s/s; 1 disables). Default 8; long mode "
-                         "defaults to 2 (the per-chunk prefill+scans XLA "
-                         "program fails remote compile at n>=4)")
+                         "defaults to 2 (prefill dominates the carry "
+                         "chunks, so higher n is noise: n=4 measured "
+                         "35.7 vs n=2 35.4 au-s/s at B=128/10.24 s)")
     ap.add_argument(
         "--with-encoder", action="store_true",
         help="generate mode: true frames->waveform pipeline — the "

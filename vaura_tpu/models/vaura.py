@@ -895,10 +895,10 @@ class VauraSystem:
         ``decode_buckets`` defaults to 2 here (not ``generate``'s 8):
         each chunk jits prefill + n segment scans as ONE XLA program and
         the prompt-carry chunks skip every segment below the prompt
-        length anyway (prefill dominates), so high n buys ~2% while the
-        v5e remote compiler fails outright on the flagship chunk program
-        at n>=4 (measured: n=1 34.6, n=2 35.4 au-s/s at B=128/10.24 s;
-        n=4/8 fail to compile).
+        length anyway (prefill dominates), so high n is noise (measured
+        at B=128/10.24 s: n=1 34.6, n=2 35.4, n=4 35.7 au-s/s — n=4
+        compiles fine under the r4 chunked-cache formulation; the old
+        pre-chunked-cache program failed remote compile at n>=4).
         """
         from vaura_tpu.utils import cached_jit
 
